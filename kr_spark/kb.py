@@ -1,0 +1,299 @@
+"""KB — a knowledge base handle: SparkSession + one big triple DataFrame.
+
+Reference: kr's KB protocol (kr-core/.../kb.clj:15-21) wraps a Jena Dataset or
+Sesame Sail; triples are row objects added one at a time
+(jena/rdf.clj:288-312, sesame/rdf.clj:244-257) with read-before-write dedup
+(`checked-add` rdf.clj:504-507). Here the store is columnar: one DataFrame
+with the FIXTURES.md §B schema; `add` batches rows driver-side and dedups with
+a single left-anti join per flush — no per-row round trips.
+
+Scale notes (100 TB design): the in-memory `_df` path is for tests and small
+fixtures; production materialization goes through kr_spark.sources.store
+(pred-bucket partitioned parquet/Iceberg). All dedup is a single shuffle on
+the natural key (s_kind,s,p,o_kind,o,o_lang,o_datatype,graph); Catalyst/AQE
+handle join strategy, and the hot-predicate skew path is in the canonicalize/
+fixpoint loops (kr_spark.plans.fixpoint), not here.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+from typing import Iterable, Iterator
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kr_spark.namespaces import NamespaceRegistry
+from kr_spark.terms import (
+    KIND_LITERAL,
+    Term,
+    to_term,
+)
+
+# FIXTURES.md §B — the engine core schema.
+TRIPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("s_kind", T.StringType(), False),
+        T.StructField("s", T.StringType(), False),
+        T.StructField("p", T.StringType(), False),
+        T.StructField("o_kind", T.StringType(), False),
+        T.StructField("o", T.StringType(), False),
+        T.StructField("o_lang", T.StringType(), True),
+        T.StructField("o_datatype", T.StringType(), True),
+        T.StructField("num_val", T.DecimalType(38, 9), True),
+        T.StructField("graph", T.StringType(), True),
+        T.StructField("conv_id", T.StringType(), True),
+        T.StructField("turn_idx", T.IntegerType(), True),
+        T.StructField("rule_id", T.StringType(), True),
+    ]
+)
+
+# Natural key for set semantics (a triple exists once per graph —
+# rdf.clj:504-507 checked-add).
+TRIPLE_KEY = ["s_kind", "s", "p", "o_kind", "o", "o_lang", "o_datatype", "graph"]
+
+
+def triple_row(
+    s: Term,
+    p: Term,
+    o: Term,
+    graph: str | None = None,
+    conv_id: str | None = None,
+    turn_idx: int | None = None,
+    rule_id: str | None = None,
+) -> Row:
+    nv = o.num_val()
+    return Row(
+        s_kind=s.kind,
+        s=s.v,
+        p=p.v,
+        o_kind=o.kind,
+        o=o.v,
+        o_lang=o.lang or None,
+        o_datatype=o.dt or None,
+        num_val=Decimal(nv) if nv is not None else None,
+        graph=graph,
+        conv_id=conv_id,
+        turn_idx=turn_idx,
+        rule_id=rule_id,
+    )
+
+
+class KB:
+    """Triple-table knowledge base (kb.clj:15-21 role, Spark-native body)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        ns: NamespaceRegistry | None = None,
+        df: DataFrame | None = None,
+        use_default_language: bool = True,
+        default_language: str = "en",
+    ) -> None:
+        self.spark = spark
+        self.ns = ns if ns is not None else NamespaceRegistry()
+        self._df = df if df is not None else spark.createDataFrame([], TRIPLE_SCHEMA)
+        self._pending: list[Row] = []
+        self.use_default_language = use_default_language
+        self.default_language = default_language
+        # default graph for adds, like kr's dynamic *graph* (rdf.clj:20)
+        self.graph: str | None = None
+
+    # ---- namespace registry (rdf.clj:115-167) ----
+
+    def register_namespaces(self, pairs: dict[str, str]) -> None:
+        self.ns.register_all(pairs)
+
+    # ---- term coercion ----
+
+    def term(self, x: object) -> Term:
+        return to_term(
+            x,
+            self.ns,
+            use_default_language=self.use_default_language,
+            default_language=self.default_language,
+        )
+
+    # ---- mutation (SURVEY §2.2 M1-M4) ----
+
+    def add(self, s, p, o, graph: str | None = None) -> None:
+        """Checked add: set semantics, triple exists once (M1, rdf.clj:504-522).
+
+        Batched: rows buffer driver-side; dedup happens at flush with one
+        left-anti join, not one ask per triple like the reference.
+        """
+        g = graph if graph is not None else self.graph
+        if g is not None:
+            g = self.term(g).v
+        self._pending.append(triple_row(self.term(s), self.term(p), self.term(o), g))
+
+    # Unchecked insert (M2, rdf.clj:524-535) — same batching; the flush dedup
+    # makes checked/unchecked equivalent for the in-memory KB.
+    add_unchecked = add
+
+    def add_statements(self, triples: Iterable[tuple]) -> None:
+        """Batch insert (M3, rdf.clj:78)."""
+        for t in triples:
+            self.add(*t)
+
+    def add_rows(self, df: DataFrame) -> None:
+        """Append a DataFrame already in TRIPLE_SCHEMA, with set-semantics dedup."""
+        self.flush()
+        new = df.select(*TRIPLE_SCHEMA.fieldNames())
+        fresh = new.join(self._df.select(*TRIPLE_KEY), on=TRIPLE_KEY, how="left_anti")
+        self._df = self._df.unionByName(fresh.dropDuplicates(TRIPLE_KEY))
+
+    def flush(self) -> None:
+        if not self._pending:
+            return
+        batch = self.spark.createDataFrame(self._pending, TRIPLE_SCHEMA).dropDuplicates(
+            TRIPLE_KEY
+        )
+        self._pending = []
+        fresh = batch.join(self._df.select(*TRIPLE_KEY), on=TRIPLE_KEY, how="left_anti")
+        self._df = self._df.unionByName(fresh)
+
+    def df(self) -> DataFrame:
+        self.flush()
+        return self._df
+
+    def size(self) -> int:
+        return self.df().count()
+
+    # ---- point lookups (SURVEY §2.3 L1-L2) ----
+
+    def _slot_conditions(self, s=None, p=None, o=None, graph=None) -> list:
+        conds = []
+        if s is not None:
+            t = self.term(s)
+            conds += [F.col("s_kind") == t.kind, F.col("s") == t.v]
+        if p is not None:
+            conds.append(F.col("p") == self.term(p).v)
+        if o is not None:
+            t = self.term(o)
+            conds.append(F.col("o_kind") == t.kind)
+            conds.append(F.col("o") == t.v)
+            if t.kind == KIND_LITERAL:
+                conds.append(F.coalesce(F.col("o_lang"), F.lit("")) == t.lang)
+                conds.append(F.coalesce(F.col("o_datatype"), F.lit("")) == t.dt)
+        if graph is not None:
+            conds.append(F.col("graph") == self.term(graph).v)
+        return conds
+
+    def ask_rdf(self, s=None, p=None, o=None, graph=None) -> bool:
+        """Any triple matching the (possibly wildcarded) slots? (rdf.clj:555-565)"""
+        df = self.df()
+        for c in self._slot_conditions(s, p, o, graph):
+            df = df.filter(c)
+        return df.limit(1).count() > 0
+
+    def query_rdf(self, s=None, p=None, o=None, graph=None) -> DataFrame:
+        """All matching triples (rdf.clj:568-578)."""
+        df = self.df()
+        for c in self._slot_conditions(s, p, o, graph):
+            df = df.filter(c)
+        return df
+
+    # ---- pattern queries (SURVEY §2.4) — delegate to the compiler ----
+
+    def plan(self, pattern, graph_scope: str | None = None) -> "CompiledPattern":
+        from kr_spark.plans.compiler import compile_pattern
+
+        return compile_pattern(self, pattern, graph_scope=graph_scope)
+
+    def query(
+        self,
+        pattern,
+        select_vars: list[str] | None = None,
+        distinct: bool = False,
+        limit: int | None = None,
+    ) -> list[dict]:
+        """SELECT: binding maps for all (or select_vars) variables
+        (sparql.clj:509-512). Bag semantics by default (*select-type* "" —
+        sparql.clj:15-17)."""
+        df = self.query_df(pattern, select_vars, distinct, limit)
+        return [self._row_to_binding(r) for r in df.collect()]
+
+    def query_df(
+        self,
+        pattern,
+        select_vars: list[str] | None = None,
+        distinct: bool = False,
+        limit: int | None = None,
+    ) -> DataFrame:
+        plan = self.plan(pattern)
+        df = plan.df
+        cols = plan.visible_vars
+        if select_vars is not None:
+            want = [self.term(v).v if "/" in str(v) else str(v) for v in select_vars]
+            cols = [c for c in want if c in plan.all_vars]
+        df = df.select(*cols)
+        if distinct:
+            df = df.dropDuplicates()
+        if limit is not None:
+            df = df.limit(limit)
+        return df
+
+    def _row_to_binding(self, row: Row) -> dict:
+        out = {}
+        for name, val in row.asDict().items():
+            if val is None:
+                continue
+            out[name] = Term(val["kind"], val["v"], val["lang"], val["dt"])
+        return out
+
+    def ask(self, pattern) -> bool:
+        """ASK (sparql.clj:415-424): pattern existence."""
+        return self.plan(pattern).df.limit(1).count() > 0
+
+    def count(self, pattern, distinct: bool = False, limit: int | None = None) -> int:
+        """COUNT over bindings (sparql.clj:478-496)."""
+        df = self.plan(pattern).df
+        if distinct:
+            df = df.dropDuplicates()
+        if limit is not None:
+            df = df.limit(limit)
+        return df.count()
+
+    def visit(self, pattern) -> Iterator[dict]:
+        """Push-visitor per binding, constant driver memory
+        (sparql.clj:524-528) — toLocalIterator streams partitions."""
+        plan = self.plan(pattern)
+        for row in plan.df.select(*plan.visible_vars).toLocalIterator():
+            yield self._row_to_binding(row)
+
+    def query_template(self, template, pattern) -> list:
+        """Project bindings through a result template (sparql.clj:514-522)."""
+        from kr_spark.plans.compiler import instantiate_template
+
+        return instantiate_template(self, template, pattern)
+
+    def construct(self, create_pattern, pattern) -> DataFrame:
+        """CONSTRUCT: instantiate m triple templates per binding; duplicates
+        KEPT (test_sparql_construct.clj:41-45). Returns TRIPLE_SCHEMA rows."""
+        from kr_spark.plans.compiler import compile_construct
+
+        return compile_construct(self, create_pattern, pattern)
+
+    def construct_visit(self, create_pattern, pattern) -> Iterator[tuple]:
+        df = self.construct(create_pattern, pattern)
+        for r in df.toLocalIterator():
+            s = Term(r.s_kind, r.s)
+            p = Term("uri", r.p)
+            o = Term(r.o_kind, r.o, r.o_lang or "", r.o_datatype or "")
+            yield (s, p, o)
+
+    # ---- rules (SURVEY §2.8) ----
+
+    def run_forward_rule(self, rule: dict, target: "KB | None" = None) -> int:
+        from kr_spark.operators.rules import run_forward_rule
+
+        return run_forward_rule(self, rule, target or self)
+
+    # ---- bulk load (SURVEY §2.1 S2) ----
+
+    def load_ntriples(self, path_or_text: str) -> None:
+        from kr_spark.sources.ntriples import load_ntriples
+
+        load_ntriples(self, path_or_text)

@@ -1,0 +1,388 @@
+"""Pattern compiler: kr-style query s-expressions -> DataFrame plans.
+
+The reference compiles patterns to SPARQL strings and hands them to Jena/
+Sesame (kr-core/.../sparql.clj:398-410 dispatch; :220-233 triple; :235-244
+union/optional; :394-395 filter). Here each clause compiles directly to a
+Catalyst logical plan:
+
+  triple pattern  -> filtered scan of the triple table, variables projected
+                     as struct<kind,v,lang,dt> columns
+  conjunction     -> inner self-joins on shared variable columns (Q1)
+  :optional       -> left outer join (Q10, sparql.clj:241-244)
+  :union          -> unionByName(allowMissingColumns) (Q11, sparql.clj:235-239)
+  filter clause   -> Column predicate (F1-F9, sparql.clj:298-363)
+  property path   -> pairs-DataFrame composition / fixpoint (P1-P8)
+
+Pattern surface syntax (Python):
+  clause forms
+    (s, p, o) / (s, p, o, g)      triple/quad pattern; p may be a path spec
+    (':optional', [clauses...])   OPTIONAL
+    (':union', [clauses...], [clauses...], ...)   UNION
+    (op, args...)                 FILTER when op is a known operator keyword
+    [clauses...]                  nested group (first element is a clause)
+  path specs (predicate position) — kr vector=modifier, list=combinator
+  (sparql.clj:130-199); here Python list=modifier, tuple=combinator:
+    ["p", '*'] / ["p", '+'] / ["p", '?'] / ["p", n] / ["p", n, m]
+    ("p1", "p2")                  sequence p1/p2
+    (':or', "p1", "p2")           alternation
+    (':inverse', "p")             ^p
+
+Scale notes: each triple-pattern scan pushes constant-slot filters into the
+parquet scan (PushedFilters); join order uses a boundness heuristic (most
+selective first — the reference delegates this to ARQ, SURVEY §4.3.1); small
+highly-filtered pattern scans typically go broadcast under AQE. No Python
+runs executor-side anywhere in this module — pure Catalyst plans.
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kr_spark.terms import KIND_BNODE, KIND_LITERAL, KIND_VAR, Term
+from kr_spark.plans.filters import FILTER_OPS, compile_filter_expr
+
+_uid = itertools.count()
+
+
+@dataclass
+class CompiledPattern:
+    df: DataFrame
+    all_vars: list[str] = field(default_factory=list)
+    # bnodes in patterns are non-capturing variables (sparql.clj:73-77):
+    # they join like variables but are excluded from SELECT results.
+    visible_vars: list[str] = field(default_factory=list)
+
+
+def _var_struct(kind_col, v_col, lang_col=None, dt_col=None):
+    return F.struct(
+        kind_col.alias("kind"),
+        v_col.alias("v"),
+        (lang_col if lang_col is not None else F.lit("")).alias("lang"),
+        (dt_col if dt_col is not None else F.lit("")).alias("dt"),
+    )
+
+
+def term_struct_lit(t: Term):
+    """A constant term as a struct literal (for filters/templates)."""
+    return _var_struct(F.lit(t.kind), F.lit(t.v), F.lit(t.lang), F.lit(t.dt))
+
+
+def _is_clause_list(x) -> bool:
+    return isinstance(x, (list, tuple)) and len(x) > 0 and isinstance(x[0], (list, tuple, str))
+
+
+def _classify(kb, clause):
+    """-> ('filter'|'optional'|'union'|'triple'|'group', payload)"""
+    if not isinstance(clause, (list, tuple)) or not clause:
+        raise ValueError(f"bad clause {clause!r}")
+    head = clause[0]
+    if isinstance(head, str):
+        if head == ":optional":
+            return "optional", clause[1:]
+        if head == ":union":
+            return "union", clause[1:]
+        if head in FILTER_OPS:
+            return "filter", clause
+    if isinstance(head, (list, tuple)) and not _looks_like_term_box(head):
+        # nested group: first element is itself a clause
+        return "group", clause
+    if len(clause) in (3, 4):
+        return "triple", clause
+    raise ValueError(f"unrecognized clause {clause!r}")
+
+
+def _looks_like_term_box(x) -> bool:
+    """A boxed literal like ["Bob","en"] / [40,"xsd/integer"] — these can only
+    appear in term position, and their head is not a clause."""
+    return (
+        isinstance(x, (list, tuple))
+        and 1 <= len(x) <= 2
+        and not any(isinstance(e, (list, tuple)) for e in x)
+    )
+
+
+def compile_pattern(kb, clauses, graph_scope: str | None = None) -> CompiledPattern:
+    """Compile a clause list to a plan. graph_scope: None = all graphs
+    (quad-store union semantics, matching reference visibility in
+    test_rdf.clj:129-153); a URI = only that named graph."""
+    triples, optionals, unions, filters, groups = [], [], [], [], []
+    for clause in clauses:
+        kind, payload = _classify(kb, clause)
+        if kind == "triple":
+            triples.append(payload)
+        elif kind == "optional":
+            optionals.append(payload)
+        elif kind == "union":
+            unions.append(payload)
+        elif kind == "filter":
+            filters.append(payload)
+        else:
+            groups.append(payload)
+
+    plans: list[CompiledPattern] = []
+    # Boundness heuristic: most-constant patterns first (SURVEY §4.3.1) —
+    # smaller intermediate results, and the narrow scans broadcast under AQE.
+    for tp in sorted(triples, key=_boundness_key):
+        plans.append(_compile_triple(kb, tp, graph_scope))
+    for g in groups:
+        plans.append(compile_pattern(kb, g, graph_scope))
+    for u in unions:
+        plans.append(_compile_union(kb, u, graph_scope))
+
+    if not plans and not optionals:
+        raise ValueError("empty pattern")
+
+    if plans:
+        acc = plans[0]
+        rest = plans[1:]
+        # greedy: always join a plan sharing variables next (avoid cartesian)
+        while rest:
+            idx = next(
+                (i for i, p in enumerate(rest) if set(p.all_vars) & set(acc.all_vars)),
+                0,
+            )
+            acc = _join(acc, rest.pop(idx), how="inner")
+    else:
+        acc = None
+
+    for opt in optionals:
+        # (':optional', clause, ...) — payload is a clause list; the kr form
+        # (:optional ((s p o))) arrives as one nested group and recurses.
+        sub = compile_pattern(kb, list(opt), graph_scope)
+        acc = sub if acc is None else _join(acc, sub, how="left")
+
+    if acc is None:
+        raise ValueError("pattern had no joinable clauses")
+
+    for f in filters:
+        acc.df = acc.df.filter(compile_filter_expr(kb, f, acc.df, set(acc.all_vars)))
+    return acc
+
+
+def _boundness_key(tp) -> int:
+    score = 0
+    for slot in tp:
+        if not (isinstance(slot, str) and (slot.startswith("?/") or slot.startswith("_/"))):
+            score -= 1  # constant slot -> more selective
+    return score
+
+
+def _slot_var(kb, x) -> Term | None:
+    """Return a variable-ish Term (var or bnode-as-var) or None for constants."""
+    t = kb.term(x)
+    if t.kind == KIND_VAR or t.kind == KIND_BNODE:
+        return t
+    return None
+
+
+def _fresh(prefix: str) -> str:
+    return f"__{prefix}{next(_uid)}"
+
+
+def _compile_triple(kb, tp, graph_scope: str | None) -> CompiledPattern:
+    s, p, o = tp[0], tp[1], tp[2]
+    g = tp[3] if len(tp) == 4 else None
+
+    if isinstance(p, (list, tuple)):
+        from kr_spark.plans.paths import compile_path_pattern
+
+        return compile_path_pattern(kb, s, p, o, graph_scope)
+
+    df = kb.df()
+    if graph_scope is not None:
+        df = df.filter(F.col("graph") == kb.term(graph_scope).v)
+    if g is not None:
+        gv = _slot_var(kb, g)
+        if gv is None:
+            df = df.filter(F.col("graph") == kb.term(g).v)
+        else:
+            df = df.filter(F.col("graph").isNotNull())
+
+    # per-slot structs (var slots project; constant slots filter — the
+    # filters push down into the parquet scan)
+    slot_structs: dict[str, list] = {}  # var name -> list of struct cols
+
+    sv = _slot_var(kb, s)
+    if sv is None:
+        t = kb.term(s)
+        df = df.filter((F.col("s_kind") == t.kind) & (F.col("s") == t.v))
+    else:
+        slot_structs.setdefault(sv.v, []).append(
+            (_var_struct(F.col("s_kind"), F.col("s")), sv.kind)
+        )
+
+    pv = _slot_var(kb, p)
+    if pv is None:
+        df = df.filter(F.col("p") == kb.term(p).v)
+    else:
+        slot_structs.setdefault(pv.v, []).append(
+            (_var_struct(F.lit("uri"), F.col("p")), pv.kind)
+        )
+
+    ov = _slot_var(kb, o)
+    if ov is None:
+        t = kb.term(o)
+        df = df.filter((F.col("o_kind") == t.kind) & (F.col("o") == t.v))
+        if t.kind == KIND_LITERAL:
+            df = df.filter(
+                (F.coalesce(F.col("o_lang"), F.lit("")) == t.lang)
+                & (F.coalesce(F.col("o_datatype"), F.lit("")) == t.dt)
+            )
+    else:
+        slot_structs.setdefault(ov.v, []).append(
+            (
+                _var_struct(
+                    F.col("o_kind"),
+                    F.col("o"),
+                    F.coalesce(F.col("o_lang"), F.lit("")),
+                    F.coalesce(F.col("o_datatype"), F.lit("")),
+                ),
+                ov.kind,
+            )
+        )
+
+    if g is not None:
+        gv = _slot_var(kb, g)
+        if gv is not None:
+            slot_structs.setdefault(gv.v, []).append(
+                (_var_struct(F.lit("uri"), F.col("graph")), gv.kind)
+            )
+
+    all_vars: list[str] = []
+    visible: list[str] = []
+    sel = []
+    for name, structs in slot_structs.items():
+        # same var in >1 slot of one pattern (e.g. (?x p ?x)) -> equality filter
+        first, kind = structs[0]
+        for other, _ in structs[1:]:
+            df = df.filter(first == other)
+        all_vars.append(name)
+        if kind == KIND_VAR:
+            visible.append(name)
+        sel.append(first.alias(name))
+
+    out = df.select(*sel) if sel else df.select(F.lit(1).alias(_fresh("one")))
+    return CompiledPattern(out, all_vars, visible)
+
+
+def _join(a: CompiledPattern, b: CompiledPattern, how: str) -> CompiledPattern:
+    shared = [v for v in a.all_vars if v in set(b.all_vars)]
+    b_only = [v for v in b.all_vars if v not in set(a.all_vars)]
+    if not shared:
+        if how == "left":
+            joined = a.df.crossJoin(b.df)
+        else:
+            joined = a.df.crossJoin(b.df)
+        df = joined
+    else:
+        renames = {v: _fresh("r") for v in shared}
+        bdf = b.df
+        for v, tmp in renames.items():
+            bdf = bdf.withColumnRenamed(v, tmp)
+        cond = None
+        for v, tmp in renames.items():
+            c = F.col(v) == F.col(tmp)
+            cond = c if cond is None else (cond & c)
+        df = a.df.join(bdf, cond, how).drop(*renames.values())
+    all_vars = a.all_vars + b_only
+    visible = a.visible_vars + [v for v in b.visible_vars if v in b_only]
+    return CompiledPattern(df, all_vars, visible)
+
+
+def _compile_union(kb, branches, graph_scope: str | None) -> CompiledPattern:
+    """UNION of sub-patterns; variables need not align (sparql.clj:235-239)."""
+    plans = [compile_pattern(kb, list(b), graph_scope) for b in branches]
+    all_vars: list[str] = []
+    visible: list[str] = []
+    for p in plans:
+        for v in p.all_vars:
+            if v not in all_vars:
+                all_vars.append(v)
+        for v in p.visible_vars:
+            if v not in visible:
+                visible.append(v)
+    dfs = []
+    for p in plans:
+        df = p.df
+        for v in all_vars:
+            if v not in p.all_vars:
+                df = df.withColumn(v, F.lit(None).cast("struct<kind:string,v:string,lang:string,dt:string>"))
+        dfs.append(df.select(*all_vars))
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df)
+    return CompiledPattern(out, all_vars, visible)
+
+
+# ---- CONSTRUCT (Q7, sparql.clj:447-466) ----
+
+
+def compile_construct(kb, create_pattern, pattern) -> DataFrame:
+    """m head templates per binding -> m projections unioned, duplicates KEPT
+    (2 bindings x 2 templates = 4; test_sparql_construct.clj:41-45)."""
+    plan = compile_pattern(kb, pattern)
+    outs = []
+    for tmpl in create_pattern:
+        outs.append(_project_template(kb, plan, tmpl))
+    df = outs[0]
+    for o in outs[1:]:
+        df = df.unionByName(o)
+    return df
+
+
+def _slot_cols(kb, plan_vars: set, x, *, as_subject: bool):
+    t = kb.term(x)
+    if (t.kind in (KIND_VAR, KIND_BNODE)) and t.v in plan_vars:
+        c = F.col(t.v)
+        return c["kind"], c["v"], c["lang"], c["dt"]
+    return F.lit(t.kind), F.lit(t.v), F.lit(t.lang), F.lit(t.dt)
+
+
+def _project_template(kb, plan: CompiledPattern, tmpl) -> DataFrame:
+    from kr_spark.terms import NUMERIC_DATATYPES
+
+    pv = set(plan.all_vars)
+    s_k, s_v, _, _ = _slot_cols(kb, pv, tmpl[0], as_subject=True)
+    _, p_v, _, _ = _slot_cols(kb, pv, tmpl[1], as_subject=False)
+    o_k, o_v, o_lang, o_dt = _slot_cols(kb, pv, tmpl[2], as_subject=False)
+    num = F.when(
+        o_dt.isin(*sorted(NUMERIC_DATATYPES)), o_v.cast("decimal(38,9)")
+    ).otherwise(F.lit(None).cast("decimal(38,9)"))
+    return plan.df.select(
+        s_k.alias("s_kind"),
+        s_v.alias("s"),
+        p_v.alias("p"),
+        o_k.alias("o_kind"),
+        o_v.alias("o"),
+        F.when(o_lang == "", F.lit(None)).otherwise(o_lang).alias("o_lang"),
+        F.when(o_dt == "", F.lit(None)).otherwise(o_dt).alias("o_datatype"),
+        num.alias("num_val"),
+        F.lit(None).cast("string").alias("graph"),
+        F.lit(None).cast("string").alias("conv_id"),
+        F.lit(None).cast("int").alias("turn_idx"),
+        F.lit(None).cast("string").alias("rule_id"),
+    )
+
+
+# ---- result templates (Q6, sparql.clj:514-522; subst unify.clj:96-107) ----
+
+
+def instantiate_template(kb, template, pattern) -> list:
+    bindings = kb.query(pattern)
+    out = []
+    for b in bindings:
+        out.append(_subst(kb, template, b))
+    return out
+
+
+def _subst(kb, node, binding: dict):
+    if isinstance(node, (list, tuple)):
+        return [_subst(kb, x, binding) for x in node]
+    t = kb.term(node) if isinstance(node, (str, int, float)) else node
+    if isinstance(t, Term) and t.kind == KIND_VAR and t.v in binding:
+        return binding[t.v]
+    return node

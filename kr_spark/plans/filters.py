@@ -1,0 +1,205 @@
+"""FILTER expression operators (SURVEY §2.5; sparql.clj:298-363).
+
+Each kr operator keyword compiles to a Catalyst Column over the binding
+struct columns (struct<kind,v,lang,dt>) — JVM-side, codegen'd, no Python.
+
+Value-space semantics: comparisons between numeric literals compare derived
+numeric values, so [40 xsd/integer] == "40"^^xsd:integer == 40
+(test_sparql.clj:182-220). Non-numeric '=' is term equality on the full
+struct, so "Bob" (auto-lang en) != ["Bob"] (no lang) — test_sparql.clj:291-300.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from kr_spark.terms import KIND_VAR, NUMERIC_DATATYPES, Term
+
+# operator keywords recognized as filter heads (sparql.clj:298-363)
+FILTER_OPS = frozenset(
+    {
+        ":bound",
+        ":isIRI",
+        ":isURI",
+        ":isBlank",
+        ":isLiteral",
+        ":str",
+        ":lang",
+        ":datatype",
+        ":or",
+        ":and",
+        ":not",
+        "!",
+        "=",
+        "!=",
+        "<",
+        ">",
+        "<=",
+        ">=",
+        "*",
+        "/",
+        "+",
+        "-",
+        ":sameTerm",
+        ":langMatches",
+        ":regex",
+    }
+)
+
+_NUMERIC_LIST = sorted(NUMERIC_DATATYPES)
+
+
+def _is_var_ref(kb, x) -> Term | None:
+    if isinstance(x, str) and x.startswith("?/"):
+        return kb.term(x)
+    if isinstance(x, Term) and x.kind == KIND_VAR:
+        return x
+    return None
+
+
+class _Val:
+    """A compiled filter operand: either a term struct column or a plain
+    (string/numeric/boolean) column."""
+
+    def __init__(self, struct: Column | None = None, plain: Column | None = None, is_bool: bool = False):
+        self.struct = struct
+        self.plain = plain
+        self.is_bool = is_bool
+
+    def string(self) -> Column:
+        # str() of a term: IRI string / lexical form (sparql.clj:304)
+        if self.struct is not None:
+            return self.struct["v"]
+        return self.plain
+
+    def numeric(self) -> Column:
+        if self.struct is not None:
+            return F.when(
+                self.struct["dt"].isin(*_NUMERIC_LIST),
+                self.struct["v"].cast("decimal(38,9)"),
+            )
+        return self.plain.cast("decimal(38,9)")
+
+    def is_numeric_pred(self) -> Column:
+        if self.struct is not None:
+            return self.struct["dt"].isin(*_NUMERIC_LIST)
+        return self.plain.cast("decimal(38,9)").isNotNull()
+
+    def boolean(self) -> Column:
+        assert self.is_bool, "expected boolean expression"
+        return self.plain
+
+
+def compile_filter_expr(kb, expr, df, plan_vars: set) -> Column:
+    v = _compile(kb, expr, plan_vars)
+    return v.boolean()
+
+
+def _compile(kb, expr, plan_vars: set) -> _Val:
+    # operator application
+    if isinstance(expr, (list, tuple)) and expr and isinstance(expr[0], str) and expr[0] in FILTER_OPS:
+        return _apply_op(kb, expr[0], expr[1:], plan_vars)
+
+    # variable reference
+    var = _is_var_ref(kb, expr)
+    if var is not None:
+        if var.v not in plan_vars:
+            # unbound var: bound() false, everything else null
+            return _Val(struct=F.lit(None).cast("struct<kind:string,v:string,lang:string,dt:string>"))
+        return _Val(struct=F.col(var.v))
+
+    # constant term — same literal rules as pattern constants, with kr's
+    # raw-boxing escape for operator args (sparql.clj:277-290): bare Python
+    # strings used as operator arguments are values, so auto-language applies
+    # exactly like in patterns (test_sparql.clj:291-300 relies on this:
+    # (= "Bob" ?name) matches "Bob"@en while (= ["Bob"] ?name) does not).
+    from kr_spark.plans.compiler import term_struct_lit
+
+    t = kb.term(expr)
+    return _Val(struct=term_struct_lit(t))
+
+
+def _apply_op(kb, op: str, args, plan_vars: set) -> _Val:
+    A = [_compile(kb, a, plan_vars) for a in args]
+
+    if op == ":bound":
+        return _Val(plain=A[0].struct.isNotNull(), is_bool=True)
+    if op in (":isIRI", ":isURI"):
+        return _Val(plain=A[0].struct["kind"] == "uri", is_bool=True)
+    if op == ":isBlank":
+        return _Val(plain=A[0].struct["kind"] == "bnode", is_bool=True)
+    if op == ":isLiteral":
+        return _Val(plain=A[0].struct["kind"] == "literal", is_bool=True)
+    if op == ":str":
+        return _Val(plain=A[0].string())
+    if op == ":lang":
+        return _Val(plain=A[0].struct["lang"])
+    if op == ":datatype":
+        return _Val(plain=A[0].struct["dt"])
+    if op in (":not", "!"):
+        return _Val(plain=~A[0].boolean(), is_bool=True)
+    if op == ":and":
+        c = A[0].boolean()
+        for a in A[1:]:
+            c = c & a.boolean()
+        return _Val(plain=c, is_bool=True)
+    if op == ":or":
+        c = A[0].boolean()
+        for a in A[1:]:
+            c = c | a.boolean()
+        return _Val(plain=c, is_bool=True)
+    if op == ":sameTerm":
+        return _Val(plain=_term_eq(A[0], A[1]), is_bool=True)
+    if op == ":langMatches":
+        lang = A[0].plain if A[0].plain is not None else A[0].struct["lang"]
+        tag = A[1].string()
+        c = F.when(tag == "*", lang != "").otherwise(
+            (F.lower(lang) == F.lower(tag))
+            | F.lower(lang).startswith(F.concat(F.lower(tag), F.lit("-")))
+        )
+        return _Val(plain=c, is_bool=True)
+    if op == ":regex":
+        text = A[0].string()
+        pat = _const_str(kb, args[1])
+        flags = _const_str(kb, args[2]) if len(args) > 2 else ""
+        if "i" in flags:
+            pat = "(?i)" + pat
+        return _Val(plain=text.rlike(pat), is_bool=True)
+
+    if op in ("=", "!="):
+        eq = _value_eq(A[0], A[1])
+        return _Val(plain=eq if op == "=" else ~eq, is_bool=True)
+    if op in ("<", ">", "<=", ">="):
+        l, r = A[0], A[1]
+        both_num = l.is_numeric_pred() & r.is_numeric_pred()
+        ln, rn = l.numeric(), r.numeric()
+        ls, rs = l.string(), r.string()
+        cmpn = {"<": ln < rn, ">": ln > rn, "<=": ln <= rn, ">=": ln >= rn}[op]
+        cmps = {"<": ls < rs, ">": ls > rs, "<=": ls <= rs, ">=": ls >= rs}[op]
+        return _Val(plain=F.when(both_num, cmpn).otherwise(cmps), is_bool=True)
+
+    if op in ("*", "/", "+", "-"):
+        l, r = A[0].numeric(), A[1].numeric()
+        c = {"*": l * r, "/": l / r, "+": l + r, "-": l - r}[op]
+        return _Val(plain=c)
+
+    raise ValueError(f"unknown filter operator {op!r}")
+
+
+def _const_str(kb, x) -> str:
+    if isinstance(x, (list, tuple)):
+        return str(x[0])
+    return str(x)
+
+
+def _term_eq(a: _Val, b: _Val) -> Column:
+    if a.struct is not None and b.struct is not None:
+        return a.struct == b.struct
+    return a.string() == b.string()
+
+
+def _value_eq(a: _Val, b: _Val) -> Column:
+    """=: numeric value-space when both sides numeric, else term equality."""
+    both_num = a.is_numeric_pred() & b.is_numeric_pred()
+    return F.when(both_num, a.numeric() == b.numeric()).otherwise(_term_eq(a, b))

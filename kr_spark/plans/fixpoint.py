@@ -1,0 +1,114 @@
+"""Iterative fixpoint over DataFrames — the engine's recursion primitive.
+
+Used by property paths `+`/`*` (sparql.clj:130-199 semantics) and by
+connected-components canonicalization (assertion.clj:114-141 semantics at
+scale). Catalyst has no recursion operator, so the loop runs on the driver;
+each iteration is one distributed join + dedup.
+
+Scale design (SURVEY §4.3.2-3):
+  * `localCheckpoint` every iteration truncates lineage — without it the plan
+    doubles per iteration and the job dies long before 100 TB.
+  * frontier-based semi-naive evaluation: only NEW pairs join against the
+    step relation, so iteration cost tracks the delta, not the closure.
+  * optional explicit skew salting: hot join keys (hub nodes / hot
+    predicates like rdf:type) re-skew every iteration, which static AQE
+    planning can't always fix inside a loop; `salt` replicates the
+    one-row-per-key side over `salt` buckets and routes the fat side by a
+    deterministic hash — no randomness, so reruns are identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def transitive_closure(
+    step: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 60,
+) -> DataFrame:
+    """All pairs (a, b) with a path of >=1 step edges from a to b.
+
+    Semi-naive: frontier ⋈ step, anti-join against known, union, repeat.
+    """
+    step = step.select(src, dst).dropDuplicates([src, dst]).localCheckpoint()
+    reach = step
+    frontier = step
+    for _ in range(max_iters):
+        nxt = (
+            frontier.alias("f")
+            .join(step.alias("s"), F.col(f"f.{dst}") == F.col(f"s.{src}"))
+            .select(F.col(f"f.{src}").alias(src), F.col(f"s.{dst}").alias(dst))
+            .dropDuplicates([src, dst])
+            .join(reach, on=[src, dst], how="left_anti")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        reach = reach.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    else:
+        raise RuntimeError(f"transitive_closure did not converge in {max_iters} iterations")
+    return reach
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 60,
+    salt: int = 0,
+) -> DataFrame:
+    """Min-label propagation: -> (node, component) with component = min node
+    id in the connected component. Deterministic (min over the node id
+    ordering), so canonical ids are stable across runs and partitionings —
+    the distributed re-expression of kr's cluster-assertions union-find
+    (assertion.clj:114-141).
+
+    salt > 0 replicates the labels side over `salt` buckets and routes each
+    edge to a deterministic bucket — spreads hub-node skew across tasks.
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .dropDuplicates(["a", "b"])
+        .localCheckpoint()
+    )
+    nodes = und.select(F.col("a").alias("node")).distinct()
+    labels = nodes.withColumn("component", F.col("node")).localCheckpoint()
+
+    for _ in range(max_iters):
+        if salt > 0:
+            lbl = labels.withColumn(
+                "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+            )
+            msgs = und.withColumn(
+                "__salt", F.pmod(F.xxhash64(F.col("a"), F.col("b")), F.lit(salt))
+            ).join(
+                lbl,
+                (F.col("a") == F.col("node")) & (lbl["__salt"] == F.col("__salt")),
+            )
+        else:
+            msgs = und.join(labels, F.col("a") == F.col("node"))
+        # candidate label for b = label(a); min with own label.
+        # groupBy min does map-side partial aggregation — the hot-node
+        # reduce is a combine, not a single-task sort.
+        cand = msgs.select(F.col("b").alias("node"), F.col("component"))
+        new_labels = (
+            cand.unionByName(labels.select("node", "component"))
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .isEmpty()
+        )
+        labels = new_labels
+        if changed:
+            return labels
+    raise RuntimeError(f"connected_components did not converge in {max_iters} iterations")

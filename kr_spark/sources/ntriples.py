@@ -1,0 +1,117 @@
+"""N-Triples load/export (SURVEY §2.1 S2/S4).
+
+Reference: FileManager.readModel / RDFFormat loaders (jena/rdf.clj:343-372,
+sesame/rdf.clj:272-302) and the write-only N-Triples writer KB
+(sesame/writer_kb.clj:32-136). Here: `spark.read.text` + JVM-side
+regexp_extract parsing (distributed — no driver-side parsing), and a
+DataFrame->text exporter. Covers the N-Triples subset used by the reference
+tests (test_rdf.clj:22-28); full Turtle/TriG is out of scope.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kr_spark.kb import TRIPLE_SCHEMA
+
+# <s> <p> <o> .  |  <s> <p> "lit"(@lang|^^<dt>)? .  |  _:b as s/o
+_LINE = re.compile(
+    r"^\s*(<[^>]*>|_:\S+)\s+<([^>]*)>\s+"
+    r"(<[^>]*>|_:\S+|\"(?:[^\"\\]|\\.)*\"(?:@[\w-]+|\^\^<[^>]*>)?)\s*\.\s*$"
+)
+
+
+def parse_ntriples_df(spark, lines_df: DataFrame, text_col: str = "value") -> DataFrame:
+    """Distributed N-Triples parse: text lines -> TRIPLE_SCHEMA rows."""
+    c = F.col(text_col)
+    s_raw = F.regexp_extract(c, r"^\s*(<[^>]*>|_:\S+)", 1)
+    p_raw = F.regexp_extract(c, r"^\s*(?:<[^>]*>|_:\S+)\s+<([^>]*)>", 1)
+    o_raw = F.regexp_extract(
+        c,
+        r"^\s*(?:<[^>]*>|_:\S+)\s+<[^>]*>\s+(<[^>]*>|_:\S+|\"(?:[^\"\\]|\\.)*\"(?:@[\w-]+|\^\^<[^>]*>)?)\s*\.\s*$",
+        1,
+    )
+    df = (
+        lines_df.filter(c.rlike(r"^\s*[^#\s]"))
+        .select(s_raw.alias("s_raw"), p_raw.alias("p"), o_raw.alias("o_raw"))
+        .filter((F.col("s_raw") != "") & (F.col("p") != "") & (F.col("o_raw") != ""))
+    )
+    s_kind = F.when(F.col("s_raw").startswith("_:"), "bnode").otherwise("uri")
+    s_val = F.when(
+        F.col("s_raw").startswith("_:"), F.expr("substring(s_raw, 3)")
+    ).otherwise(F.regexp_extract("s_raw", r"^<(.*)>$", 1))
+    o_is_uri = F.col("o_raw").startswith("<")
+    o_is_bnode = F.col("o_raw").startswith("_:")
+    o_kind = F.when(o_is_uri, "uri").when(o_is_bnode, "bnode").otherwise("literal")
+    lex = F.regexp_extract("o_raw", r'^"((?:[^"\\]|\\.)*)"', 1)
+    lex = F.regexp_replace(F.regexp_replace(lex, r'\\"', '"'), r"\\\\", "\\\\")
+    o_val = (
+        F.when(o_is_uri, F.regexp_extract("o_raw", r"^<(.*)>$", 1))
+        .when(o_is_bnode, F.expr("substring(o_raw, 3)"))
+        .otherwise(lex)
+    )
+    o_lang = F.nullif(F.regexp_extract("o_raw", r'"@([\w-]+)$', 1), F.lit(""))
+    o_dt = F.nullif(F.regexp_extract("o_raw", r"\^\^<([^>]*)>$", 1), F.lit(""))
+    from kr_spark.terms import NUMERIC_DATATYPES
+
+    num = F.when(o_dt.isin(*sorted(NUMERIC_DATATYPES)), o_val.cast("decimal(38,9)"))
+    out = df.select(
+        s_kind.alias("s_kind"),
+        s_val.alias("s"),
+        F.col("p"),
+        o_kind.alias("o_kind"),
+        o_val.alias("o"),
+        o_lang.alias("o_lang"),
+        o_dt.alias("o_datatype"),
+        num.alias("num_val"),
+        F.lit(None).cast("string").alias("graph"),
+        F.lit(None).cast("string").alias("conv_id"),
+        F.lit(None).cast("int").alias("turn_idx"),
+        F.lit(None).cast("string").alias("rule_id"),
+    )
+    return out
+
+
+def load_ntriples(kb, path_or_text: str) -> None:
+    spark = kb.spark
+    if "\n" in path_or_text or path_or_text.strip().startswith("<"):
+        lines = spark.createDataFrame(
+            [(l,) for l in path_or_text.splitlines()], "value string"
+        )
+    else:
+        lines = spark.read.text(path_or_text)
+    kb.add_rows(parse_ntriples_df(spark, lines))
+
+
+def export_ntriples(df: DataFrame) -> DataFrame:
+    """TRIPLE_SCHEMA rows -> one N-Triples line per row (S4 writer-KB role).
+    Write with .write.text(path) — distributed, optionally .option("compression","gzip")
+    matching the reference's GZIP writer (sesame/writer_kb.clj:87-91)."""
+    s = F.when(F.col("s_kind") == "bnode", F.concat(F.lit("_:"), F.col("s"))).otherwise(
+        F.concat(F.lit("<"), F.col("s"), F.lit(">"))
+    )
+    lex = F.regexp_replace(F.regexp_replace(F.col("o"), r"\\", r"\\\\"), '"', r"\"")
+    o = (
+        F.when(F.col("o_kind") == "uri", F.concat(F.lit("<"), F.col("o"), F.lit(">")))
+        .when(F.col("o_kind") == "bnode", F.concat(F.lit("_:"), F.col("o")))
+        .otherwise(
+            F.concat(
+                F.lit('"'),
+                lex,
+                F.lit('"'),
+                F.when(
+                    F.col("o_lang").isNotNull(), F.concat(F.lit("@"), F.col("o_lang"))
+                )
+                .when(
+                    F.col("o_datatype").isNotNull(),
+                    F.concat(F.lit("^^<"), F.col("o_datatype"), F.lit(">")),
+                )
+                .otherwise(F.lit("")),
+            )
+        )
+    )
+    line = F.concat(s, F.lit(" <"), F.col("p"), F.lit("> "), o, F.lit(" ."))
+    return df.select(line.alias("value"))

@@ -1,0 +1,88 @@
+"""KB lifecycle + statement-level API, porting test_kb.clj:91-114 and
+test_rdf.clj (adds, bnodes, quads, N-Triples load)."""
+
+from tests.conftest import TEST_TRIPLES, load_fixture
+
+
+def test_add_and_size(kb):
+    load_fixture(kb, TEST_TRIPLES)
+    assert kb.size() == 5
+
+
+def test_checked_add_is_idempotent(kb):
+    # checked add: set semantics (rdf.clj:504-507)
+    load_fixture(kb, TEST_TRIPLES)
+    load_fixture(kb, TEST_TRIPLES)
+    kb.add("ex/a", "foaf/name", "Johnny Lee Outlaw")
+    assert kb.size() == 5
+
+
+def test_ask_rdf_wildcards(kb):
+    load_fixture(kb, TEST_TRIPLES)
+    assert kb.ask_rdf("ex/a", "foaf/name", "Johnny Lee Outlaw")
+    assert kb.ask_rdf("ex/a", None, None)
+    assert kb.ask_rdf(None, "foaf/mbox", None)
+    assert not kb.ask_rdf("ex/zzz", None, None)
+    assert not kb.ask_rdf("ex/a", "foaf/name", "Peter Goodguy")
+
+
+def test_query_rdf(kb):
+    load_fixture(kb, TEST_TRIPLES)
+    assert kb.query_rdf(None, "foaf/mbox", None).count() == 3
+    assert kb.query_rdf("ex/a", None, None).count() == 2
+
+
+def test_literal_lang_default(kb):
+    # plain strings get lang "en" (rdf.clj:28-29,393-396)
+    kb.add("ex/a", "foaf/name", "Alice")
+    row = kb.df().collect()[0]
+    assert row.o_lang == "en"
+    assert row.o_datatype is None
+
+
+def test_typed_literal_integer(kb):
+    # bare ints forced to xsd:integer (rdf.clj:382-384)
+    kb.add("ex/a", "foaf/age", 40)
+    row = kb.df().collect()[0]
+    assert row.o == "40"
+    assert row.o_datatype.endswith("XMLSchema#integer")
+    assert int(row.num_val) == 40
+
+
+def test_quads_named_graph_visibility(kb):
+    # C12: quad visible in default (all-graph) query and under its graph,
+    # invisible under a different graph (test_rdf.clj:129-207)
+    kb.add("ex/a", "ex/b", "ex/c", graph="ex/x")
+    assert kb.ask_rdf("ex/a", "ex/b", "ex/c")
+    assert kb.ask_rdf("ex/a", "ex/b", "ex/c", graph="ex/x")
+    assert not kb.ask_rdf("ex/a", "ex/b", "ex/c", graph="ex/z")
+    # same triple may exist separately in another graph
+    kb.add("ex/a", "ex/b", "ex/c", graph="ex/y")
+    assert kb.size() == 2
+
+
+def test_ntriples_load(kb):
+    # C13 (test_rdf.clj:22-28, 59-66)
+    nt = (
+        "<http://www.example.org/a> <http://www.example.org/p> <http://www.example.org/x> .\n"
+        "<http://www.example.org/a> <http://www.example.org/p> <http://www.example.org/y> .\n"
+    )
+    kb.load_ntriples(nt)
+    assert kb.ask_rdf("ex/a", "ex/p", "ex/x")
+    assert kb.ask_rdf("ex/a", "ex/p", "ex/y")
+    assert not kb.ask_rdf("ex/a", "ex/p", "ex/z")
+
+
+def test_ntriples_roundtrip(kb):
+    from kr_spark.sources.ntriples import export_ntriples, parse_ntriples_df
+
+    load_fixture(kb, TEST_TRIPLES + [("ex/a", "foaf/age", 40)])
+    lines = export_ntriples(kb.df())
+    reparsed = parse_ntriples_df(kb.spark, lines)
+    from kr_spark.kb import KB
+
+    kb2 = KB(kb.spark)
+    kb2.add_rows(reparsed)
+    assert kb2.size() == kb.size()
+    assert kb2.ask_rdf("ex/a", "foaf/age", 40)
+    assert kb2.ask_rdf("ex/a", "foaf/name", "Johnny Lee Outlaw")
