@@ -1,0 +1,831 @@
+"""Driver-contract queries: every operator family from SURVEY.md §2 exposed
+as a (spark, sf_dir) -> DataFrame callable with a DuckDB oracle SQL twin.
+
+The RDF/BGP operators run over a triple table DERIVED deterministically from
+the TPC-H-ish test tables (customer/nation/region/supplier/orders), so the
+DuckDB oracle can state the expected result as plain SQL joins over the base
+tables while the Spark side goes through the full engine (term encoding ->
+pattern compiler -> self-joins -> collect). Column names are aligned on both
+sides (driver hashes by sorted column name).
+
+Numeric outputs are integers (cents / counts) or strings — never raw
+doubles — except where both engines compute the identical double expression
+(rounded), to keep value-hash comparison robust.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kr_spark.kb import KB, TRIPLE_SCHEMA
+
+# ---- vocabulary ----
+KG = "http://kg.example.org/"
+CUST, NAT, REG, SUP, ORD = (KG + p + "/" for p in ("cust", "nat", "reg", "sup", "ord"))
+RE = KG + "rel/"
+TY = KG + "type/"
+ENT = "http://kg.example.org/entity/"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+FOAF_NAME = "http://xmlns.com/foaf/0.1/name"
+XSD_DOUBLE = "http://www.w3.org/2001/XMLSchema#double"
+ORDERS_GRAPH = KG + "graph/orders"
+
+_NS = {
+    "kgc": CUST,
+    "kgn": NAT,
+    "kgr": REG,
+    "kgs": SUP,
+    "kgo": ORD,
+    "rel": RE,
+    "ty": TY,
+    "ent": ENT,
+}
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _t(s_col, p: str, o_col, o_kind="uri", o_lang=None, o_dt=None, num=None, graph=None):
+    """One triple projection in TRIPLE_SCHEMA order."""
+    return [
+        F.lit("uri").alias("s_kind"),
+        s_col.alias("s"),
+        F.lit(p).alias("p"),
+        F.lit(o_kind).alias("o_kind"),
+        o_col.alias("o"),
+        (F.lit(o_lang) if o_lang else F.lit(None)).cast("string").alias("o_lang"),
+        (F.lit(o_dt) if o_dt else F.lit(None)).cast("string").alias("o_datatype"),
+        (num if num is not None else F.lit(None)).cast("decimal(38,9)").alias("num_val"),
+        F.lit(graph).cast("string").alias("graph"),
+        F.lit(None).cast("string").alias("conv_id"),
+        F.lit(None).cast("int").alias("turn_idx"),
+        F.lit(None).cast("string").alias("rule_id"),
+    ]
+
+
+def _uri(prefix: str, key_col) -> F.Column:
+    return F.concat(F.lit(prefix), key_col.cast("string"))
+
+
+def derive_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-ish base tables -> one triple DataFrame (pure plan, no action).
+
+    Facts: typing, names (lang-tagged), FK edges, numeric literals, a
+    `locatedIn` 2-level hierarchy (cust->nat->reg) for bounded paths, a
+    `parent` binary tree over nations for transitive closure, and orders
+    facts in a named graph."""
+    customer = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    supplier = _read(spark, sf_dir, "supplier")
+    orders = _read(spark, sf_dir, "orders")
+
+    c_uri = _uri(CUST, F.col("c_custkey"))
+    n_uri_c = _uri(NAT, F.col("c_nationkey"))
+    n_uri = _uri(NAT, F.col("n_nationkey"))
+    r_uri_n = _uri(REG, F.col("n_regionkey"))
+    r_uri = _uri(REG, F.col("r_regionkey"))
+    s_uri = _uri(SUP, F.col("s_suppkey"))
+    n_uri_s = _uri(NAT, F.col("s_nationkey"))
+    o_uri = _uri(ORD, F.col("o_orderkey"))
+    c_uri_o = _uri(CUST, F.col("o_custkey"))
+
+    parts = [
+        customer.select(*_t(c_uri, RDF_TYPE, F.lit(TY + "Customer"))),
+        customer.select(*_t(c_uri, FOAF_NAME, F.col("c_name"), "literal", o_lang="en")),
+        customer.select(*_t(c_uri, RE + "inNation", n_uri_c)),
+        customer.select(*_t(c_uri, RE + "locatedIn", n_uri_c)),
+        customer.select(
+            *_t(
+                c_uri,
+                RE + "acctbal",
+                F.col("c_acctbal").cast("string"),
+                "literal",
+                o_dt=XSD_DOUBLE,
+                num=F.col("c_acctbal"),
+            )
+        ),
+        customer.select(
+            *_t(c_uri, RE + "mktsegment", F.col("c_mktsegment"), "literal", o_lang="en")
+        ),
+        nation.select(*_t(n_uri, RDF_TYPE, F.lit(TY + "Nation"))),
+        nation.select(*_t(n_uri, FOAF_NAME, F.col("n_name"), "literal", o_lang="en")),
+        nation.select(*_t(n_uri, RE + "inRegion", r_uri_n)),
+        nation.select(*_t(n_uri, RE + "locatedIn", r_uri_n)),
+        nation.filter(F.col("n_nationkey") > 0).select(
+            *_t(n_uri, RE + "parent", _uri(NAT, F.floor((F.col("n_nationkey") - 1) / 2)))
+        ),
+        region.select(*_t(r_uri, RDF_TYPE, F.lit(TY + "Region"))),
+        region.select(*_t(r_uri, FOAF_NAME, F.col("r_name"), "literal", o_lang="en")),
+        supplier.select(*_t(s_uri, RDF_TYPE, F.lit(TY + "Supplier"))),
+        supplier.select(*_t(s_uri, FOAF_NAME, F.col("s_name"), "literal", o_lang="en")),
+        supplier.select(*_t(s_uri, RE + "inNation", n_uri_s)),
+        orders.select(*_t(o_uri, RE + "by", c_uri_o, graph=ORDERS_GRAPH)),
+        orders.select(
+            *_t(o_uri, RE + "status", F.col("o_orderstatus"), "literal", o_lang="en", graph=ORDERS_GRAPH)
+        ),
+        orders.select(
+            *_t(
+                o_uri,
+                RE + "price",
+                F.col("o_totalprice").cast("string"),
+                "literal",
+                o_dt=XSD_DOUBLE,
+                num=F.col("o_totalprice"),
+                graph=ORDERS_GRAPH,
+            )
+        ),
+    ]
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
+
+
+def make_kb(spark: SparkSession, sf_dir: str) -> KB:
+    kb = KB(spark, df=derive_triples(spark, sf_dir).select(*TRIPLE_SCHEMA.fieldNames()))
+    kb.register_namespaces(_NS)
+    return kb
+
+
+def _flat(kb: KB, pattern, outs: list[tuple[str, str]], distinct=False) -> DataFrame:
+    """Run a pattern query and flatten var struct columns to plain strings."""
+    plan = kb.plan(pattern)
+    cols = [F.col(v)["v"].alias(alias) for v, alias in outs]
+    df = plan.df.select(*cols)
+    return df.dropDuplicates() if distinct else df
+
+
+# =====================================================================
+# queries — BGP / filters / optional / union / graphs / construct
+# =====================================================================
+
+
+def q_bgp_2hop(spark, sf_dir):
+    """Q1/Q2: conjunctive BGP with constant literal (lang-tagged) object."""
+    kb = make_kb(spark, sf_dir)
+    return _flat(
+        kb,
+        [
+            ("?/c", "rdf/type", "ty/Customer"),
+            ("?/c", "foaf/name", "?/cname"),
+            ("?/c", "rel/inNation", "?/n"),
+            ("?/n", "foaf/name", "NATION_7"),
+        ],
+        [("c", "cust"), ("cname", "cname")],
+    )
+
+
+def q_count_pattern(spark, sf_dir):
+    """Q4: COUNT over a 2-join BGP."""
+    kb = make_kb(spark, sf_dir)
+    n = kb.count(
+        [
+            ("?/c", "rdf/type", "ty/Customer"),
+            ("?/c", "rel/inNation", "?/n"),
+            ("?/n", "rel/inRegion", "?/r"),
+        ]
+    )
+    return spark.createDataFrame([(n,)], "n_bindings long")
+
+
+def q_optional(spark, sf_dir):
+    """Q10: OPTIONAL with an inner filter — nations with their >9900-balance
+    customers, nations without any kept with NULL."""
+    kb = make_kb(spark, sf_dir)
+    plan = kb.plan(
+        [
+            ("?/n", "rdf/type", "ty/Nation"),
+            ("?/n", "foaf/name", "?/nname"),
+            (
+                ":optional",
+                ("?/c", "rel/inNation", "?/n"),
+                ("?/c", "rel/acctbal", "?/bal"),
+                (">", "?/bal", 9900),
+            ),
+        ]
+    )
+    return plan.df.select(
+        F.col("n")["v"].alias("nat"),
+        F.col("nname")["v"].alias("nname"),
+        F.col("c")["v"].alias("cust"),
+    )
+
+
+def q_union(spark, sf_dir):
+    """Q11: UNION with non-aligned variables."""
+    kb = make_kb(spark, sf_dir)
+    plan = kb.plan(
+        [
+            (
+                ":union",
+                [("?/x", "rdf/type", "ty/Customer"), ("?/x", "foaf/name", "?/cname")],
+                [("?/x", "rdf/type", "ty/Supplier"), ("?/x", "foaf/name", "?/sname")],
+            )
+        ]
+    )
+    return plan.df.select(
+        F.col("x")["v"].alias("x"),
+        F.col("cname")["v"].alias("cname"),
+        F.col("sname")["v"].alias("sname"),
+    )
+
+
+def q_filter_regex(spark, sf_dir):
+    """F9: regex filter with case-insensitive flag."""
+    kb = make_kb(spark, sf_dir)
+    return _flat(
+        kb,
+        [
+            ("?/c", "foaf/name", "?/cname"),
+            ("?/c", "rdf/type", "ty/Customer"),
+            (":regex", "?/cname", ["^customer#0*1$"], ["i"]),
+        ],
+        [("c", "cust"), ("cname", "cname")],
+    )
+
+
+def q_filter_numeric(spark, sf_dir):
+    """F5/F6: value-space numeric range filter + arithmetic output (cents)."""
+    kb = make_kb(spark, sf_dir)
+    plan = kb.plan(
+        [
+            ("?/c", "rel/acctbal", "?/bal"),
+            ("?/c", "rdf/type", "ty/Customer"),
+            (":and", (">=", "?/bal", 9000), ("<", "?/bal", 9500)),
+        ]
+    )
+    return plan.df.select(
+        F.col("c")["v"].alias("cust"),
+        F.round(F.col("bal")["v"].cast("double") * 100).cast("long").alias("bal_cents"),
+    )
+
+
+def q_distinct(spark, sf_dir):
+    """Q14: DISTINCT projection."""
+    kb = make_kb(spark, sf_dir)
+    return _flat(
+        kb,
+        [("?/c", "rel/mktsegment", "?/seg")],
+        [("seg", "segment")],
+        distinct=True,
+    )
+
+
+def q_graph_scoped(spark, sf_dir):
+    """Q12: named-graph-scoped pattern (orders facts live in a named graph)."""
+    kb = make_kb(spark, sf_dir)
+    return _flat(
+        kb,
+        [("?/o", "rel/status", "?/st", "<" + ORDERS_GRAPH + ">")],
+        [("st", "status")],
+        distinct=True,
+    )
+
+
+def q_construct(spark, sf_dir):
+    """Q7: CONSTRUCT, 2 templates per binding, duplicates kept (bag)."""
+    kb = make_kb(spark, sf_dir)
+    out = kb.construct(
+        [
+            ("?/c", "rel/located", "?/r"),
+            ("?/c", "rdf/type", "ty/Located"),
+        ],
+        [
+            ("?/c", "rdf/type", "ty/Customer"),
+            ("?/c", "rel/inNation", "?/n"),
+            ("?/n", "rel/inRegion", "?/r"),
+        ],
+    )
+    return out.select("s", "p", "o")
+
+
+# =====================================================================
+# property paths
+# =====================================================================
+
+
+def q_path_seq(spark, sf_dir):
+    """P5: sequence path (inNation / inRegion)."""
+    kb = make_kb(spark, sf_dir)
+    return _flat(
+        kb,
+        [("?/c", ("rel/inNation", "rel/inRegion"), "?/r"), ("?/c", "rdf/type", "ty/Customer")],
+        [("c", "cust"), ("r", "reg")],
+    )
+
+
+def q_path_bounded(spark, sf_dir):
+    """P4: bounded repeat locatedIn{1,2} from customers."""
+    kb = make_kb(spark, sf_dir)
+    return _flat(
+        kb,
+        [("?/c", ["rel/locatedIn", 1, 2], "?/y"), ("?/c", "rdf/type", "ty/Customer")],
+        [("c", "cust"), ("y", "dest")],
+        distinct=True,
+    )
+
+
+def q_path_transitive(spark, sf_dir):
+    """P2: parent+ transitive closure over the nation binary tree (fixpoint
+    loop with per-iteration checkpoint)."""
+    kb = make_kb(spark, sf_dir)
+    return _flat(
+        kb,
+        [("?/x", ["rel/parent", "+"], "?/y")],
+        [("x", "descendant"), ("y", "ancestor")],
+        distinct=True,
+    )
+
+
+# =====================================================================
+# forward rule + reification
+# =====================================================================
+
+
+def q_forward_rule_md5(spark, sf_dir):
+    """K1+R3: forward rule minting md5-skolemized department nodes."""
+    from kr_spark.operators.rules import rule_head_df
+
+    kb = make_kb(spark, sf_dir)
+    rule = {
+        "name": "dept-rule",
+        "head": [
+            ("?/c", "rel/inDept", "?/dept"),
+            ("?/dept", "rdf/type", "ty/Department"),
+        ],
+        "body": [
+            ("?/c", "rdf/type", "ty/Customer"),
+            ("?/c", "rel/inNation", "?/n"),
+            ("?/n", "rel/inRegion", "?/r"),
+        ],
+        "reify": [
+            {"var": "?/dept", "ln": ("md5", "?/n", "?/r"), "ns": ENT, "prefix": "DEPT_"}
+        ],
+    }
+    return rule_head_df(kb, rule).select("s", "p", "o")
+
+
+# =====================================================================
+# canonicalization (connected components)
+# =====================================================================
+
+
+def q_canon_cc(spark, sf_dir):
+    """C1: connected components via min-label propagation — per-nation
+    customer chains; component must equal min custkey of the nation."""
+    from pyspark.sql.window import Window
+
+    from kr_spark.plans.fixpoint import connected_components
+
+    customer = _read(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    edges = (
+        customer.withColumn("prev", F.lag("c_custkey").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(F.col("prev").alias("src"), F.col("c_custkey").alias("dst"))
+    )
+    cc = connected_components(edges)
+    return cc.select(F.col("node"), F.col("component"))
+
+
+# =====================================================================
+# dedup / text ops over documents
+# =====================================================================
+
+
+def q_dedup_exact(spark, sf_dir):
+    from kr_spark.operators.dedup import exact_duplicates
+
+    docs = _read(spark, sf_dir, "documents")
+    return exact_duplicates(docs).select("doc_id", "canonical_id", "content_hash")
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from kr_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.5)
+
+
+def q_minhash_bands(spark, sf_dir):
+    """MinHash signature + LSH banding (exact band signatures)."""
+    from kr_spark.operators.dedup import minhash_bands, minhash_signature, word_shingles
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sig = minhash_signature(word_shingles(F.col("text"), 3), 16)
+    return docs.select(
+        "doc_id", F.explode(minhash_bands(sig, 4, 4)).alias("b")
+    ).select("doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_sig").alias("band_sig"))
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    from kr_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return minhash_lsh_candidates(docs, num_hashes=16, bands=4, shingle_k=3)
+
+
+def q_simhash(spark, sf_dir):
+    from kr_spark.operators.dedup import simhash64
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash64(F.col("text")).alias("fp"))
+
+
+def q_lang_id(spark, sf_dir):
+    from kr_spark.operators.textstats import language_id
+
+    docs = _read(spark, sf_dir, "documents")
+    return language_id(docs).select("doc_id", "lang_pred")
+
+
+def q_token_count(spark, sf_dir):
+    from kr_spark.operators.textstats import token_count
+
+    docs = _read(spark, sf_dir, "documents")
+    return token_count(docs).select("doc_id", "n_tokens")
+
+
+def q_fingerprint(spark, sf_dir):
+    from kr_spark.operators.textstats import fingerprint
+
+    docs = _read(spark, sf_dir, "documents")
+    return fingerprint(docs).select("doc_id", "fp")
+
+
+# =====================================================================
+# similarity over embeddings
+# =====================================================================
+
+
+def q_cosine_topk(spark, sf_dir):
+    from kr_spark.operators.similarity import cosine_topk_bruteforce
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk_bruteforce(emb, queries, k=5).select(
+        "query_id", "neighbor_id", "rank", "cosine"
+    )
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """Rows-only check (no SQL oracle): approximate ANN via sign-LSH buckets;
+    recall vs brute force asserted in tests/test_similarity.py."""
+    from kr_spark.operators.similarity import lsh_ann_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return lsh_ann_topk(emb, queries, k=5)
+
+
+# =====================================================================
+# flagship: transcript -> KG pipeline
+# =====================================================================
+
+
+def q_kg_pipeline(spark, sf_dir):
+    """North-star pipeline over transcripts derived deterministically from
+    the documents table row ids: extract -> link (closed-form canonical) ->
+    dedup. Oracle = the generator's planted ground truth (exact)."""
+    from kr_spark.pipeline.extract import extract_relations_expr
+    from kr_spark.pipeline.link import normalize_surface
+    from kr_spark.pipeline.transcripts import ENT_NS, transcripts_from_ids
+
+    ids = _read(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    transcripts = transcripts_from_ids(ids)
+    extracted = extract_relations_expr(transcripts)
+    triples = extracted.select(
+        F.concat(F.lit(ENT_NS), normalize_surface(F.col("subj_surface"))).alias("s"),
+        F.col("pred").alias("p"),
+        F.concat(F.lit(ENT_NS), normalize_surface(F.col("obj_surface"))).alias("o"),
+    ).distinct()
+    return triples
+
+
+# =====================================================================
+# DuckDB oracle SQL — one twin per query above (same column names; the
+# driver compares row count + schema + order-insensitive value hash)
+# =====================================================================
+
+_CU = f"'{CUST}' || CAST(c_custkey AS VARCHAR)"
+_NA_C = f"'{NAT}' || CAST(c_nationkey AS VARCHAR)"
+_NA = f"'{NAT}' || CAST(n_nationkey AS VARCHAR)"
+_RG_N = f"'{REG}' || CAST(n_regionkey AS VARCHAR)"
+_SU = f"'{SUP}' || CAST(s_suppkey AS VARCHAR)"
+
+_NORM_TEXT = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+_TOKS = f"string_split({_NORM_TEXT}, ' ')"
+
+# shingles CTE body (3-word shingles, short docs -> whole text)
+_SHINGLES_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 200
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                                 i -> array_to_string(toks[i:i+2], ' ')))
+              ELSE [array_to_string(toks, ' ')] END AS shingles
+  FROM d
+)
+"""
+
+
+def _simhash_sql() -> str:
+    votes = []
+    for b in range(60):
+        mask = 1 << b
+        votes.append(
+            f"(CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN (x & {mask}) != 0 "
+            f"THEN 1 ELSE -1 END)) > 0 THEN CAST({mask} AS BIGINT) ELSE 0 END)"
+        )
+    fp = " + ".join(votes)
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents
+), h AS (
+  SELECT doc_id,
+         list_transform(toks, t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs
+  FROM t
+)
+SELECT doc_id, {fp} AS fp FROM h
+"""
+
+
+_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "a"],
+    "de": ["der", "die", "und", "das", "ist", "ein"],
+    "fr": ["le", "la", "et", "les", "est", "une"],
+    "es": ["el", "la", "que", "de", "es", "una"],
+}
+
+
+def _lang_hits_sql(lang: str) -> str:
+    parts = [
+        rf"len(regexp_extract_all(' ' || lower(text) || ' ', '\b{w}\b'))"
+        for w in _MARKERS[lang]
+    ]
+    return " + ".join(parts)
+
+
+def _lang_id_sql() -> str:
+    hits = {l: _lang_hits_sql(l) for l in ("en", "de", "fr", "es")}
+    return f"""
+WITH h AS (
+  SELECT doc_id, {hits['en']} AS hen, {hits['de']} AS hde,
+         {hits['fr']} AS hfr, {hits['es']} AS hes
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN GREATEST(hen, hde, hfr, hes) = 0 THEN 'und'
+            WHEN hen = GREATEST(hen, hde, hfr, hes) THEN 'en'
+            WHEN hde = GREATEST(hen, hde, hfr, hes) THEN 'de'
+            WHEN hfr = GREATEST(hen, hde, hfr, hes) THEN 'fr'
+            ELSE 'es' END AS lang_pred
+FROM h
+"""
+
+
+# the transcript generator's closed-form math, in SQL (oracle for the
+# flagship pipeline: expected = planted ground truth, canonical surfaces)
+def _kg_truth_sql() -> str:
+    stem = lambda v: (
+        f"(chr(97 + CAST(({v}) // 676 AS INTEGER) % 26) || "
+        f"chr(97 + CAST(({v}) // 26 AS INTEGER) % 26) || "
+        f"chr(97 + CAST(({v}) AS INTEGER) % 26))"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id,
+         doc_id // 8 AS conv,
+         doc_id % 8 AS turn
+  FROM documents
+), idx AS (
+  SELECT id, conv, turn,
+         CASE WHEN (conv * 8 + turn) % 4 = 0 THEN 0
+              ELSE (conv * 7 + turn * 3) % 200 END AS p1,
+         (CASE WHEN (conv * 8 + turn) % 4 = 0 THEN 0
+               ELSE (conv * 7 + turn * 3) % 200 END + 1 + turn % 3) % 200 AS p2,
+         (conv * 5 + turn * 2) % 50 AS o1,
+         (conv + turn) % 4 AS ttype
+  FROM base
+), rel AS (
+  SELECT * FROM idx WHERE ttype != 3
+)
+SELECT DISTINCT
+  'http://kg.example.org/entity/' || {stem('p1')} || 'x' || {stem('p1')} || 'son' AS s,
+  CASE ttype WHEN 0 THEN 'http://kg.example.org/rel/worksAt'
+             WHEN 1 THEN 'http://kg.example.org/rel/knows'
+             ELSE 'http://kg.example.org/rel/emailed' END AS p,
+  CASE WHEN ttype = 0
+       THEN 'http://kg.example.org/entity/org' || {stem('o1')}
+       ELSE 'http://kg.example.org/entity/' || {stem('p2')} || 'x' || {stem('p2')} || 'son'
+  END AS o
+FROM rel
+"""
+
+
+ORACLES = {
+    "q_bgp_2hop": f"""
+        SELECT {_CU} AS cust, c_name AS cname
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE n_name = 'NATION_7'
+    """,
+    "q_count_pattern": """
+        SELECT COUNT(*) AS n_bindings
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
+    "q_optional": f"""
+        SELECT {_NA} AS nat, n_name AS nname, rich.cust AS cust
+        FROM nation LEFT JOIN (
+          SELECT {_CU} AS cust, c_nationkey FROM customer WHERE c_acctbal > 9900
+        ) rich ON rich.c_nationkey = n_nationkey
+    """,
+    "q_union": f"""
+        SELECT {_CU} AS x, c_name AS cname, CAST(NULL AS VARCHAR) AS sname FROM customer
+        UNION ALL
+        SELECT {_SU} AS x, CAST(NULL AS VARCHAR) AS cname, s_name AS sname FROM supplier
+    """,
+    "q_filter_regex": f"""
+        SELECT {_CU} AS cust, c_name AS cname FROM customer
+        WHERE regexp_matches(c_name, '(?i)^customer#0*1$')
+    """,
+    "q_filter_numeric": f"""
+        SELECT {_CU} AS cust, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+        FROM customer WHERE c_acctbal >= 9000 AND c_acctbal < 9500
+    """,
+    "q_distinct": """
+        SELECT DISTINCT c_mktsegment AS segment FROM customer
+    """,
+    "q_graph_scoped": """
+        SELECT DISTINCT o_orderstatus AS status FROM orders
+    """,
+    "q_construct": f"""
+        SELECT {_CU} AS s, 'http://kg.example.org/rel/located' AS p,
+               '{REG}' || CAST(n_regionkey AS VARCHAR) AS o
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        UNION ALL
+        SELECT {_CU} AS s, '{RDF_TYPE}' AS p, '{TY}Located' AS o
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
+    "q_path_seq": f"""
+        SELECT {_CU} AS cust, {_RG_N} AS reg
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
+    "q_path_bounded": f"""
+        SELECT {_CU} AS cust, {_NA_C} AS dest FROM customer
+        UNION
+        SELECT {_CU} AS cust, {_RG_N} AS dest
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
+    "q_path_transitive": f"""
+        WITH RECURSIVE anc AS (
+          SELECT n_nationkey AS child, (n_nationkey - 1) // 2 AS ancestor
+          FROM nation WHERE n_nationkey > 0
+          UNION
+          SELECT a.child, (n.n_nationkey - 1) // 2 AS ancestor
+          FROM anc a JOIN nation n ON a.ancestor = n.n_nationkey
+          WHERE n.n_nationkey > 0
+        )
+        SELECT DISTINCT '{NAT}' || CAST(child AS VARCHAR) AS descendant,
+               '{NAT}' || CAST(ancestor AS VARCHAR) AS ancestor
+        FROM anc
+    """,
+    "q_forward_rule_md5": f"""
+        WITH b AS (
+          SELECT {_CU} AS c,
+                 {_NA_C} AS n,
+                 '{REG}' || CAST(n_regionkey AS VARCHAR) AS r
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+        ), minted AS (
+          SELECT c, '{ENT}DEPT_' || md5(n || chr(31) || r) AS dept FROM b
+        )
+        SELECT c AS s, 'http://kg.example.org/rel/inDept' AS p, dept AS o FROM minted
+        UNION ALL
+        SELECT dept AS s, '{RDF_TYPE}' AS p, '{TY}Department' AS o FROM minted
+    """,
+    "q_canon_cc": """
+        SELECT c_custkey AS node,
+               MIN(c_custkey) OVER (PARTITION BY c_nationkey) AS component
+        FROM customer
+    """,
+    "q_dedup_exact": f"""
+        WITH h AS (
+          SELECT doc_id, md5({_NORM_TEXT}) AS content_hash FROM documents
+        )
+        SELECT doc_id,
+               MIN(doc_id) OVER (PARTITION BY content_hash) AS canonical_id,
+               content_hash
+        FROM h
+    """,
+    "q_ngram_jaccard": _SHINGLES_SQL
+    + """
+    , ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh)
+    , sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
+    , pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.5
+    """,
+    "q_minhash_bands": _SHINGLES_SQL
+    + """
+    , sig AS (
+        SELECT doc_id,
+               list_transform(range(0, 16),
+                 j -> list_min(list_transform(shingles,
+                        s -> md5(CAST(j AS VARCHAR) || ':' || s)))) AS sg
+        FROM sh
+    )
+    SELECT doc_id, band_id,
+           md5(array_to_string(sg[band_id * 4 + 1 : band_id * 4 + 4], ',')) AS band_sig
+    FROM sig, (SELECT unnest(range(0, 4)) AS band_id)
+    """,
+    "q_minhash_lsh_pairs": _SHINGLES_SQL
+    + """
+    , sig AS (
+        SELECT doc_id,
+               list_transform(range(0, 16),
+                 j -> list_min(list_transform(shingles,
+                        s -> md5(CAST(j AS VARCHAR) || ':' || s)))) AS sg
+        FROM sh
+    ), banded AS (
+        SELECT doc_id, band_id,
+               md5(array_to_string(sg[band_id * 4 + 1 : band_id * 4 + 4], ',')) AS band_sig
+        FROM sig, (SELECT unnest(range(0, 4)) AS band_id)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    """,
+    "q_simhash": _simhash_sql(),
+    "q_lang_id": _lang_id_sql(),
+    "q_token_count": f"""
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len({_TOKS}) END AS n_tokens
+        FROM documents
+    """,
+    "q_fingerprint": f"""
+        SELECT doc_id, md5({_NORM_TEXT}) AS fp FROM documents
+    """,
+    "q_cosine_topk": """
+        WITH v AS (
+          SELECT vec_id, embedding,
+                 sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+          FROM embeddings
+        ), q AS (SELECT * FROM v WHERE vec_id < 5),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 ROUND(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                        CAST(q.embedding AS DOUBLE[]))
+                       / (c.nrm * q.nrm), 6) AS cosine
+          FROM v c, q WHERE c.vec_id != q.vec_id
+        ), ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 5
+    """,
+    "q_kg_pipeline": _kg_truth_sql(),
+}
+
+
+QUERIES = {
+    "q_bgp_2hop": q_bgp_2hop,
+    "q_count_pattern": q_count_pattern,
+    "q_optional": q_optional,
+    "q_union": q_union,
+    "q_filter_regex": q_filter_regex,
+    "q_filter_numeric": q_filter_numeric,
+    "q_distinct": q_distinct,
+    "q_graph_scoped": q_graph_scoped,
+    "q_construct": q_construct,
+    "q_path_seq": q_path_seq,
+    "q_path_bounded": q_path_bounded,
+    "q_path_transitive": q_path_transitive,
+    "q_forward_rule_md5": q_forward_rule_md5,
+    "q_canon_cc": q_canon_cc,
+    "q_dedup_exact": q_dedup_exact,
+    "q_ngram_jaccard": q_ngram_jaccard,
+    "q_minhash_bands": q_minhash_bands,
+    "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "q_simhash": q_simhash,
+    "q_lang_id": q_lang_id,
+    "q_token_count": q_token_count,
+    "q_fingerprint": q_fingerprint,
+    "q_cosine_topk": q_cosine_topk,
+    "q_ann_lsh_topk": q_ann_lsh_topk,
+    "q_kg_pipeline": q_kg_pipeline,
+}

@@ -142,7 +142,12 @@ class KB:
         self.flush()
         new = df.select(*TRIPLE_SCHEMA.fieldNames())
         fresh = new.join(self._df.select(*TRIPLE_KEY), on=TRIPLE_KEY, how="left_anti")
-        self._df = self._df.unionByName(fresh.dropDuplicates(TRIPLE_KEY))
+        # localCheckpoint: truncate the union/anti-join lineage so query plans
+        # against a mutated KB stay shallow (same role as the fixpoint loop's
+        # per-iteration checkpoint; at scale this is the Iceberg table commit)
+        self._df = self._df.unionByName(
+            fresh.dropDuplicates(TRIPLE_KEY)
+        ).localCheckpoint()
 
     def flush(self) -> None:
         if not self._pending:
@@ -152,7 +157,7 @@ class KB:
         )
         self._pending = []
         fresh = batch.join(self._df.select(*TRIPLE_KEY), on=TRIPLE_KEY, how="left_anti")
-        self._df = self._df.unionByName(fresh)
+        self._df = self._df.unionByName(fresh).localCheckpoint()
 
     def df(self) -> DataFrame:
         self.flush()

@@ -1,0 +1,127 @@
+"""Entity linking: MinHash-LSH blocking + vectorized candidate scoring.
+
+North-star stage: "entity linking via MinHash-LSH blocking plus pandas-UDF
+candidate scoring". Surfaces from mention detection are blocked by
+char-3-gram MinHash bands (operators/dedup.py machinery), candidate pairs
+are scored with an Arrow-batched pandas UDF (char-trigram Jaccard — the seam
+for an embedding/cross-encoder scorer), and scoring survivors become
+same-as edges for connected-components canonicalization.
+
+A closed-form normalization key (`normalize_surface`) gives the exact-SQL
+oracle path: the alias design (doubled-letter typo / split form) normalizes
+back to the canonical surface, so link quality is measurable against it.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_surface(c: Column) -> Column:
+    """Deterministic normalization: lowercase, strip the ' esq' title
+    suffix, drop spaces ('abexabeson esq' / 'abex abeson' -> 'abexabeson')."""
+    lowered = F.regexp_replace(F.lower(c), r" esq$", "")
+    return F.regexp_replace(lowered, r"\s+", "")
+
+
+def char_shingles(c: Column, k: int = 3) -> Column:
+    """Distinct char k-grams of a (already short) surface string."""
+    lc = F.lower(F.regexp_replace(c, r"\s+", ""))
+    n = F.length(lc)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1))),
+        lambda i: lc.substr(i, F.lit(k)),
+    )
+    return F.array_distinct(grams)
+
+
+def lsh_candidate_pairs(
+    mentions: DataFrame,
+    surface_col: str = "surface",
+    num_hashes: int = 24,
+    bands: int = 12,
+) -> DataFrame:
+    """MinHash-LSH blocking over char shingles -> candidate pairs
+    (surface_a < surface_b). bands=12/rows=2: P(candidate) ≈ 0.9997 at
+    Jaccard 0.67 (same-entity aliases), ≈ 0.02 at 0.14 (cross-entity)."""
+    from kr_spark.operators.dedup import minhash_bands, minhash_signature
+
+    rows = num_hashes // bands
+    sig = minhash_signature(char_shingles(F.col(surface_col)), num_hashes)
+    banded = mentions.select(
+        F.col(surface_col),
+        F.explode(minhash_bands(sig, bands, rows)).alias("b"),
+    ).select(
+        surface_col,
+        F.col("b.band_id").alias("band_id"),
+        F.col("b.band_sig").alias("band_sig"),
+    )
+    left = banded.select("band_id", "band_sig", F.col(surface_col).alias("surface_a"))
+    right = banded.select("band_id", "band_sig", F.col(surface_col).alias("surface_b"))
+    return (
+        left.join(right, on=["band_id", "band_sig"])
+        .filter(F.col("surface_a") < F.col("surface_b"))
+        .select("surface_a", "surface_b")
+        .distinct()
+    )
+
+
+def score_candidates_arrow(candidates: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """Arrow-batched pandas scoring of candidate pairs: char-trigram Jaccard.
+    Vectorized per batch (set ops in Python over short strings — this is the
+    pluggable scorer seam; swap for embedding cosine or a cross-encoder)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def grams(s: str) -> set:
+            s = "".join(s.lower().split())
+            return {s[i : i + 3] for i in range(max(len(s) - 2, 1))}
+
+        for pdf in batches:
+            ga = pdf["surface_a"].map(grams)
+            gb = pdf["surface_b"].map(grams)
+            inter = [len(a & b) for a, b in zip(ga, gb)]
+            union = [len(a | b) for a, b in zip(ga, gb)]
+            score = [i / u if u else 0.0 for i, u in zip(inter, union)]
+            out = pdf.assign(score=score)
+            yield out[out["score"] >= threshold]
+
+    return candidates.mapInPandas(
+        op, schema="surface_a string, surface_b string, score double"
+    )
+
+
+def link_entities(
+    mentions: DataFrame, surface_col: str = "surface", threshold: float = 0.4
+) -> DataFrame:
+    """Full linking: blocking -> scoring -> same-as edges (a, b)."""
+    cand = lsh_candidate_pairs(mentions, surface_col)
+    scored = score_candidates_arrow(cand, threshold)
+    return scored.select(F.col("surface_a").alias("a"), F.col("surface_b").alias("b"))
+
+
+def canonical_surface_mapping(mentions: DataFrame, edges: DataFrame, salt: int = 0) -> DataFrame:
+    """surface -> canonical id via connected components over same-as edges;
+    canonical id = normalized form of the component's min surface (stable,
+    and equal to the planted canonical for correctly-linked clusters).
+    Singleton surfaces (no edges) map to their own normalized form."""
+    from kr_spark.plans.fixpoint import connected_components
+
+    cc = connected_components(edges, src="a", dst="b", salt=salt)
+    rep = cc.groupBy("component").agg(F.min("node").alias("__rep_surface"))
+    comp_canon = rep.select(
+        F.col("component"),
+        normalize_surface(F.col("__rep_surface")).alias("canonical"),
+    )
+    linked = cc.join(comp_canon, on="component").select(
+        F.col("node").alias("surface"), F.col("canonical")
+    )
+    singletons = (
+        mentions.select(F.col("surface"))
+        .join(linked, on="surface", how="left_anti")
+        .select(F.col("surface"), normalize_surface(F.col("surface")).alias("canonical"))
+    )
+    return linked.unionByName(singletons)

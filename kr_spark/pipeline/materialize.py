@@ -1,0 +1,233 @@
+"""Materialization: dedup'd triple table, pred-bucket partitioned, with
+per-partition checkpoint manifest (lineage + extraction-count metrics) for
+mid-run resume (north_rule requirement).
+
+Layout (SURVEY §4.4): parquet (Iceberg-ready; no Iceberg jar in this image —
+see sources/store.py) partitioned by `p_bucket = pmod(xxhash64(p), N)`.
+Bucketing the PREDICATE keeps hot predicates (rdf:type-scale skew) spread by
+the bucket hash while still enabling partition pruning for
+predicate-constant BGP scans (pattern compiler filters on p; a stats-aware
+reader maps p -> bucket and prunes).
+
+Checkpoint protocol:
+  * work is split into `n_buckets` input buckets by pmod(xxhash64(conv_id)).
+  * each bucket runs extract->emit independently; its output lands in
+    `out/stage_extract/bucket=<i>/` and a manifest line
+    {bucket, rows_in, triples_out, wall_s, lineage} is appended ATOMICALLY
+    (write temp file + rename) to `out/_manifest/bucket-<i>.json`.
+  * resume = skip buckets whose manifest file exists (exactly-once per
+    bucket: a killed bucket leaves no manifest, its partial parquet dir is
+    overwritten on retry — rename-commit makes the manifest the source of
+    truth).
+  * the global stages (link/canonicalize/write) re-run from the union of
+    completed bucket outputs; they are deterministic, so kill+resume yields
+    a bit-identical final table (tested in tests/test_resume.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_PRED_BUCKETS = 16
+
+
+def _manifest_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifest")
+
+
+def completed_buckets(out_dir: str) -> set[int]:
+    d = _manifest_dir(out_dir)
+    if not os.path.isdir(d):
+        return set()
+    out = set()
+    for name in os.listdir(d):
+        if name.startswith("bucket-") and name.endswith(".json"):
+            out.add(int(name[len("bucket-") : -len(".json")]))
+    return out
+
+
+def read_manifests(out_dir: str) -> list[dict]:
+    d = _manifest_dir(out_dir)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in sorted(os.listdir(d)):
+        if name.endswith(".json"):
+            with open(os.path.join(d, name)) as f:
+                out.append(json.load(f))
+    return out
+
+
+def _commit_manifest(out_dir: str, bucket: int, record: dict) -> None:
+    d = _manifest_dir(out_dir)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".bucket-{bucket}.json.tmp")
+    final = os.path.join(d, f"bucket-{bucket}.json")
+    with open(tmp, "w") as f:
+        json.dump(record, f)
+    os.replace(tmp, final)  # atomic commit
+
+
+def run_extract_stage(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    n_buckets: int = 8,
+    fail_after: int | None = None,
+    use_arrow_extractor: bool = True,
+) -> int:
+    """Bucketed, resumable extraction. Returns number of buckets run now.
+
+    fail_after: test hook — raise after N buckets to simulate a mid-run kill.
+    """
+    from kr_spark.pipeline.extract import (
+        extract_relations_arrow,
+        extract_relations_expr,
+    )
+
+    done = completed_buckets(out_dir)
+    ran = 0
+    bucketed = transcripts.withColumn(
+        "__bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets))
+    )
+    for b in range(n_buckets):
+        if b in done:
+            continue
+        if fail_after is not None and ran >= fail_after:
+            raise RuntimeError(f"injected failure after {ran} buckets")
+        t0 = time.time()
+        part = bucketed.filter(F.col("__bucket") == b).drop("__bucket")
+        extractor = extract_relations_arrow if use_arrow_extractor else extract_relations_expr
+        extracted = extractor(part)
+        path = os.path.join(out_dir, "stage_extract", f"bucket={b}")
+        extracted.write.mode("overwrite").parquet(path)
+        rows_in = part.count()
+        triples_out = spark.read.parquet(path).count()
+        _commit_manifest(
+            out_dir,
+            b,
+            {
+                "bucket": b,
+                "rows_in": rows_in,
+                "triples_out": triples_out,
+                "wall_s": round(time.time() - t0, 3),
+                "lineage": {
+                    "stage": "extract",
+                    "extractor": "arrow" if use_arrow_extractor else "expr",
+                    "input": "transcripts",
+                    "bucket_fn": f"pmod(xxhash64(conv_id), {n_buckets})",
+                },
+            },
+        )
+        ran += 1
+    return ran
+
+
+def load_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, "stage_extract"))
+
+
+def materialize_triples(
+    spark: SparkSession,
+    out_dir: str,
+    salt: int = 0,
+    pred_buckets: int = DEFAULT_PRED_BUCKETS,
+) -> DataFrame:
+    """Global stages: link -> canonicalize -> rewrite -> dedup -> write.
+    Deterministic given the extract-stage outputs."""
+    from kr_spark.pipeline.extract import mentions_from_extractions
+    from kr_spark.pipeline.link import (
+        canonical_surface_mapping,
+        link_entities,
+        normalize_surface,
+    )
+    from kr_spark.pipeline.transcripts import ENT_NS
+
+    extracted = load_extracted(spark, out_dir)
+    mentions = mentions_from_extractions(extracted)
+    edges = link_entities(mentions)
+    mapping = canonical_surface_mapping(mentions, edges, salt=salt)
+
+    m = F.broadcast(mapping)
+    s_map = m.select(F.col("surface").alias("__ss"), F.col("canonical").alias("__sc"))
+    o_map = m.select(F.col("surface").alias("__os"), F.col("canonical").alias("__oc"))
+    triples = (
+        extracted.join(s_map, extracted["subj_surface"] == F.col("__ss"), "left")
+        .join(o_map, extracted["obj_surface"] == F.col("__os"), "left")
+        .select(
+            F.concat(
+                F.lit(ENT_NS),
+                F.coalesce(F.col("__sc"), normalize_surface(F.col("subj_surface"))),
+            ).alias("s"),
+            F.col("pred").alias("p"),
+            F.concat(
+                F.lit(ENT_NS),
+                F.coalesce(F.col("__oc"), normalize_surface(F.col("obj_surface"))),
+            ).alias("o"),
+            F.col("conv_id"),
+            F.col("turn_idx"),
+        )
+    )
+    # set semantics on (s,p,o): keep min provenance for determinism
+    deduped = triples.groupBy("s", "p", "o").agg(
+        F.min("conv_id").alias("conv_id"), F.min("turn_idx").alias("turn_idx")
+    )
+    final = deduped.select(
+        F.lit("uri").alias("s_kind"),
+        "s",
+        "p",
+        F.lit("uri").alias("o_kind"),
+        "o",
+        F.lit(None).cast("string").alias("o_lang"),
+        F.lit(None).cast("string").alias("o_datatype"),
+        F.lit(None).cast("decimal(38,9)").alias("num_val"),
+        F.lit(None).cast("string").alias("graph"),
+        "conv_id",
+        "turn_idx",
+        F.lit("extract.v1").alias("rule_id"),
+        F.pmod(F.xxhash64("p"), F.lit(pred_buckets)).alias("p_bucket"),
+    )
+    path = os.path.join(out_dir, "triples")
+    # repartition by the physical partition key so each task writes one
+    # directory (avoids the N_tasks × N_partitions small-file explosion)
+    final.repartition(pred_buckets, "p_bucket").write.mode("overwrite").partitionBy(
+        "p_bucket"
+    ).parquet(path)
+    return spark.read.parquet(path)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    n_buckets: int = 8,
+    fail_after: int | None = None,
+    use_arrow_extractor: bool = True,
+) -> DataFrame:
+    """End-to-end: resumable extract stage + global materialize."""
+    run_extract_stage(
+        spark,
+        transcripts,
+        out_dir,
+        n_buckets=n_buckets,
+        fail_after=fail_after,
+        use_arrow_extractor=use_arrow_extractor,
+    )
+    return materialize_triples(spark, out_dir)
+
+
+def precision_recall(emitted: DataFrame, truth: DataFrame) -> tuple[float, float]:
+    """Set P/R of emitted (s,p,o) vs ground truth (FIXTURES.md §D)."""
+    e = emitted.select("s", "p", "o").distinct()
+    t = truth.select("s", "p", "o").distinct()
+    n_e = e.count()
+    n_t = t.count()
+    n_common = e.join(t, on=["s", "p", "o"], how="inner").count()
+    precision = n_common / n_e if n_e else 0.0
+    recall = n_common / n_t if n_t else 0.0
+    return precision, recall

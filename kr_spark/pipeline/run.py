@@ -1,0 +1,75 @@
+"""spark-submit entry point for the full KG-construction pipeline.
+
+Usage (north_rule launch shape):
+  spark-submit --py-files kr_spark.zip kr_spark/pipeline/run.py \
+      --n-convs 100000 --out /data/kg --buckets 64
+
+On a real cluster the transcripts come from the Iceberg transcripts table;
+here they are generated deterministically (same generator the tests and
+bench use). The job prints one JSON line with throughput metrics —
+triples/sec is the headline number (BASELINE.json metric).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-convs", type=int, default=10000)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--buckets", type=int, default=16)
+    ap.add_argument("--cores", type=int, default=None, help="local[N]; default local[*]")
+    ap.add_argument("--extractor", choices=["arrow", "expr"], default="expr")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    builder = (
+        SparkSession.builder.appName("kr_spark_pipeline")
+        .config("spark.sql.shuffle.partitions", str((args.cores or 32)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    if args.cores:
+        builder = builder.master(f"local[{args.cores}]")
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from kr_spark.pipeline.materialize import run_pipeline
+    from kr_spark.pipeline.transcripts import generate_transcripts
+
+    t0 = time.time()
+    transcripts = generate_transcripts(spark, args.n_convs)
+    triples = run_pipeline(
+        spark,
+        transcripts,
+        args.out,
+        n_buckets=args.buckets,
+        use_arrow_extractor=(args.extractor == "arrow"),
+    )
+    n_triples = triples.count()
+    wall = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "n_convs": args.n_convs,
+                "n_turns": args.n_convs * 8,
+                "n_triples": n_triples,
+                "wall_s": round(wall, 3),
+                "triples_per_sec": round(n_triples / wall, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -34,13 +34,15 @@ def transitive_closure(
     Semi-naive: frontier ⋈ step, anti-join against known, union, repeat.
     """
     step = step.select(src, dst).dropDuplicates([src, dst]).localCheckpoint()
+    # step with src renamed to the join key — frontier.dst == step.src
+    hop = step.withColumnRenamed(src, "__mid").withColumnRenamed(dst, "__hop_dst")
     reach = step
     frontier = step
     for _ in range(max_iters):
         nxt = (
-            frontier.alias("f")
-            .join(step.alias("s"), F.col(f"f.{dst}") == F.col(f"s.{src}"))
-            .select(F.col(f"f.{src}").alias(src), F.col(f"s.{dst}").alias(dst))
+            frontier.withColumnRenamed(dst, "__mid")
+            .join(hop, on="__mid")
+            .select(F.col(src), F.col("__hop_dst").alias(dst))
             .dropDuplicates([src, dst])
             .join(reach, on=[src, dst], how="left_anti")
             .localCheckpoint()
@@ -81,14 +83,17 @@ def connected_components(
 
     for _ in range(max_iters):
         if salt > 0:
+            # replicate the one-row-per-node labels side over `salt` buckets;
+            # each edge routes to a deterministic bucket — a hot node's edges
+            # spread across `salt` tasks instead of one
             lbl = labels.withColumn(
-                "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+                "__lsalt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
             )
             msgs = und.withColumn(
-                "__salt", F.pmod(F.xxhash64(F.col("a"), F.col("b")), F.lit(salt))
+                "__esalt", F.pmod(F.xxhash64(F.col("a"), F.col("b")), F.lit(salt))
             ).join(
                 lbl,
-                (F.col("a") == F.col("node")) & (lbl["__salt"] == F.col("__salt")),
+                (F.col("a") == F.col("node")) & (F.col("__lsalt") == F.col("__esalt")),
             )
         else:
             msgs = und.join(labels, F.col("a") == F.col("node"))
@@ -100,15 +105,32 @@ def connected_components(
             cand.unionByName(labels.select("node", "component"))
             .groupBy("node")
             .agg(F.min("component").alias("component"))
+        )
+        # pointer jumping: follow component -> label(component) one hop, so
+        # chains converge in O(log diameter) rounds instead of O(diameter)
+        jump = new_labels.select(
+            F.col("node").alias("__jnode"), F.col("component").alias("__jcomp")
+        )
+        new_labels = (
+            new_labels.join(
+                jump, new_labels["component"] == F.col("__jnode"), "left"
+            )
+            .select(
+                F.col("node"),
+                F.least(
+                    F.col("component"), F.coalesce(F.col("__jcomp"), F.col("component"))
+                ).alias("component"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .filter(F.col("n.component") != F.col("o.component"))
+        stable = (
+            new_labels.join(
+                labels.withColumnRenamed("component", "__old"), on="node"
+            )
+            .filter(F.col("component") != F.col("__old"))
             .isEmpty()
         )
         labels = new_labels
-        if changed:
+        if stable:
             return labels
     raise RuntimeError(f"connected_components did not converge in {max_iters} iterations")

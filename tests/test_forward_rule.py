@@ -1,0 +1,259 @@
+"""Forward-rule suite — ports test_forward_rule.clj:222-426 (rules defined
+at :99-214; see FIXTURES.md §C11 for md5 fixtures)."""
+
+import pytest
+
+from kr_spark.operators.rules import (
+    RuleError,
+    connected_rule,
+    forward_safe,
+    forward_safe_with_reification,
+    run_forward_rule,
+)
+from tests.conftest import (
+    TEST_TRIPLES_6_3,
+    TEST_TRIPLES_MD5,
+    TEST_TRIPLES_MD5_2,
+    load_fixture,
+)
+
+RULE_1 = {
+    "name": "rule-1",
+    "head": [("?/hacker", "rdf/type", "ex/Hacker")],
+    "body": [("?/hacker", "foaf/name", "?/name")],
+}
+
+RULE_2 = {
+    "name": "rule-2",
+    "head": [
+        ("?/hacker", "rdf/type", "ex/Hacker"),
+        ("?/hacker", "ex/controls", "?/org"),
+        ("?/org", "rdf/type", "ex/HackerOrganization"),
+    ],
+    "body": [("?/hacker", "foaf/name", "?/name")],
+    "reify": ["?/org"],
+}
+
+RULE_5 = {
+    "name": "rule-5",
+    "head": RULE_2["head"],
+    "body": RULE_2["body"],
+    "reify": [
+        {"var": "?/org", "ln": ("localname", "?/hacker"), "ns": "ex", "prefix": "", "suffix": "ORG"}
+    ],
+}
+
+RULE_6 = {
+    "name": "rule-6",
+    "head": RULE_2["head"],
+    "body": RULE_2["body"],
+    "reify": [{"var": "?/org", "ln": ("md5", "?/hacker"), "ns": "ex", "suffix": "_ORG"}],
+}
+
+RULE_7 = {
+    "name": "rule-7",
+    "head": [
+        ("?/hacker", "ex/inDept", "?/dept"),
+        ("?/dept", "rdf/type", "ex/Department"),
+    ],
+    "body": [
+        ("?/hacker", "ex/hasBoss", "?/boss"),
+        ("?/hacker", "ex/atCompany", "?/co"),
+    ],
+    "reify": [{"var": "?/dept", "ln": ("md5", "?/boss", "?/co"), "ns": "ex", "prefix": "DEPT_"}],
+}
+
+BAD_RULE_7 = {
+    "name": "bad-rule-7",
+    "head": RULE_7["head"],
+    "body": RULE_7["body"],
+    "reify": [{"var": "?/org", "ln": ("md5", "?/boss", "?/co"), "ns": "ex", "prefix": "DEPT_"}],
+}
+
+RULE_8 = {
+    "name": "rule-8",
+    "head": [
+        ("?/hacker", "ex/inDept", "?/dept"),
+        ("?/dept", "ex/deptID", "?/deptid"),
+        ("?/dept", "rdf/type", "ex/Department"),
+    ],
+    "body": RULE_7["body"],
+    "reify": [
+        {"var": "?/dept", "ln": ("md5", "?/boss", "?/co"), "ns": "ex", "prefix": "DEPT_"},
+        {"var": "?/deptid", "ln": ("md5", "?/dept", "?/co"), "ns": "ex", "prefix": "DEPT_"},
+    ],
+}
+
+RULE_8_INV = {**RULE_8, "name": "rule-8-inv", "reify": list(reversed(RULE_8["reify"]))}
+
+RULE_9_OPTIONAL = {
+    "name": "rule-9-optional",
+    "head": [("?/hacker", "ex/empname", "?/empname")],
+    "body": [
+        ("?/hacker", "ex/atCompany", "?/co"),
+        (":optional", ("?/hacker", "foaf/firstname", "?/empname")),
+    ],
+    "reify": [{"var": "?/empname", "ln": ("md5", "?/hacker"), "ns": "ex", "prefix": "DEPT_"}],
+}
+
+RULE_10 = {
+    "name": "rule-10",
+    "head": RULE_8["head"],
+    "body": RULE_8["body"],
+    "reify": [
+        {"var": "?/dept", "ln": ("md5", "?/boss", "?/co"), "ns": "ex", "prefix": "D_"},
+        {"var": "?/deptid", "ln": ("md5", "ex/ID", "?/boss", "?/co"), "ns": "ex", "prefix": "D_"},
+    ],
+}
+
+RULE_11_CYCLE = {
+    "name": "rule-11-exception",
+    "head": RULE_8["head"],
+    "body": RULE_8["body"],
+    "reify": [
+        {"var": "?/dept", "ln": ("md5", "?/deptid", "?/co"), "ns": "ex", "prefix": "D_"},
+        {"var": "?/deptid", "ln": ("md5", "?/dept", "?/co"), "ns": "ex", "prefix": "D_"},
+    ],
+}
+
+
+def _one(kb, pattern, var):
+    res = kb.query(pattern)
+    assert res, f"no bindings for {pattern}"
+    return res[0][var].v
+
+
+def test_safety_checks(kb):
+    # test_forward_rule.clj:222-229
+    assert forward_safe(kb, RULE_1)
+    assert not forward_safe(kb, RULE_2)
+    for r in (RULE_1, RULE_2, RULE_5, RULE_6, RULE_7):
+        assert forward_safe_with_reification(kb, r) or forward_safe(kb, r)
+    assert not forward_safe_with_reification(kb, BAD_RULE_7)
+    assert connected_rule(kb, RULE_7)
+
+
+def test_forward_1(kb):
+    # :232-236 — derives 2 Hackers
+    load_fixture(kb, TEST_TRIPLES_6_3)
+    run_forward_rule(kb, RULE_1, kb)
+    assert kb.count([("?/person", "rdf/type", "ex/Hacker")]) == 2
+
+
+def test_forward_2_unique_reify(kb):
+    # :238-243 — 2 orgs minted in ex namespace
+    load_fixture(kb, TEST_TRIPLES_6_3)
+    run_forward_rule(kb, RULE_2, kb)
+    res = kb.query([("?/org", "rdf/type", "ex/HackerOrganization")])
+    assert len(res) == 2
+    assert all(b["org"].v.startswith("http://www.example.org/") for b in res)
+
+
+def test_forward_5_localname(kb):
+    # :124-130, :258-264 — creates ex/aORG and ex/bORG
+    load_fixture(kb, TEST_TRIPLES_6_3)
+    run_forward_rule(kb, RULE_5, kb)
+    res = kb.query([("?/org", "rdf/type", "ex/HackerOrganization")])
+    orgs = {b["org"].v for b in res}
+    assert orgs == {
+        "http://www.example.org/aORG",
+        "http://www.example.org/bORG",
+    }
+
+
+def test_forward_6_md5_suffix(kb):
+    load_fixture(kb, TEST_TRIPLES_6_3)
+    run_forward_rule(kb, RULE_6, kb)
+    res = kb.query([("?/org", "rdf/type", "ex/HackerOrganization")])
+    assert len(res) == 2
+    assert all(b["org"].v.endswith("_ORG") for b in res)
+
+
+def test_forward_7_md5_sharing(kb):
+    # :277-291 — 2 departments, 3 memberships; a,b share, a,c don't
+    load_fixture(kb, TEST_TRIPLES_MD5)
+    run_forward_rule(kb, RULE_7, kb)
+    assert kb.count([("?/org", "rdf/type", "ex/Department")]) == 2
+    assert kb.count([("?/person", "ex/inDept", "?/dept")]) == 3
+    assert _one(kb, [("ex/a", "ex/inDept", "?/dept")], "dept") == _one(
+        kb, [("ex/b", "ex/inDept", "?/dept")], "dept"
+    )
+    assert _one(kb, [("ex/a", "ex/inDept", "?/dept")], "dept") != _one(
+        kb, [("ex/c", "ex/inDept", "?/dept")], "dept"
+    )
+    assert kb.ask([("ex/a", "ex/inDept", "?/dept"), ("ex/b", "ex/inDept", "?/dept")])
+
+
+@pytest.mark.parametrize("rule", [RULE_8, RULE_8_INV], ids=["rule-8", "rule-8-inv"])
+def test_forward_8_dependent_reify(kb, rule):
+    # :295-341 — deptid depends on minted dept; both orders work (topo-sort)
+    load_fixture(kb, TEST_TRIPLES_MD5)
+    run_forward_rule(kb, rule, kb)
+    assert kb.count([("?/org", "rdf/type", "ex/Department")]) == 2
+    assert kb.count([("?/person", "ex/inDept", "?/dept")]) == 3
+    did = lambda who: _one(
+        kb, [(who, "ex/inDept", "_/dept"), ("_/dept", "ex/deptID", "?/deptid")], "deptid"
+    )
+    assert did("ex/a") == did("ex/b")
+    assert did("ex/a") != did("ex/c")
+
+
+def test_forward_8_c_no_sharing_on_md5_2(kb):
+    # :344-361 — on md5-2, a and b do NOT share a dept
+    load_fixture(kb, TEST_TRIPLES_MD5_2)
+    run_forward_rule(kb, RULE_8, kb)
+    assert _one(kb, [("ex/a", "ex/inDept", "?/dept")], "dept") != _one(
+        kb, [("ex/b", "ex/inDept", "?/dept")], "dept"
+    )
+
+
+def test_forward_9_optional_reify_fills_unbound_only(kb):
+    # :392-416 — a keeps its firstname; b, c get distinct minted names
+    load_fixture(kb, TEST_TRIPLES_MD5_2)
+    run_forward_rule(kb, RULE_9_OPTIONAL, kb)
+    a_first = _one(kb, [("ex/a", "foaf/firstname", "?/firstname")], "firstname")
+    a_emp = _one(kb, [("ex/a", "ex/empname", "?/empname")], "empname")
+    assert a_first == a_emp == "Alice"
+    b_emp = _one(kb, [("ex/b", "ex/empname", "?/empname")], "empname")
+    c_emp = _one(kb, [("ex/c", "ex/empname", "?/empname")], "empname")
+    assert len({a_emp, b_emp, c_emp}) == 3
+
+
+def test_forward_10_constants_in_md5(kb):
+    # :419-422 — constant arg prevents dept/deptid collision
+    load_fixture(kb, TEST_TRIPLES_MD5_2)
+    run_forward_rule(kb, RULE_10, kb)
+    assert not kb.ask([("?/deptid", "ex/deptID", "?/deptid")])
+
+
+def test_forward_11_reify_cycle_raises(kb):
+    # :425-426
+    load_fixture(kb, TEST_TRIPLES_MD5_2)
+    with pytest.raises(RuleError):
+        run_forward_rule(kb, RULE_11_CYCLE, kb)
+
+
+def test_rules_to_fixpoint_rdfs_subclass(kb):
+    # K9: RDFS-style entailment as rules run to fixpoint
+    from kr_spark.operators.rules import run_rules_to_fixpoint
+
+    kb.add_statements(
+        [
+            ("ex/Dog", "rdfs/subClassOf", "ex/Mammal"),
+            ("ex/Mammal", "rdfs/subClassOf", "ex/Animal"),
+            ("ex/rex", "rdf/type", "ex/Dog"),
+        ]
+    )
+    subclass_transitivity = {
+        "name": "rdfs11",
+        "head": [("?/a", "rdfs/subClassOf", "?/c")],
+        "body": [("?/a", "rdfs/subClassOf", "?/b"), ("?/b", "rdfs/subClassOf", "?/c")],
+    }
+    type_inheritance = {
+        "name": "rdfs9",
+        "head": [("?/x", "rdf/type", "?/c")],
+        "body": [("?/x", "rdf/type", "?/b"), ("?/b", "rdfs/subClassOf", "?/c")],
+    }
+    run_rules_to_fixpoint(kb, [subclass_transitivity, type_inheritance])
+    assert kb.ask_rdf("ex/rex", "rdf/type", "ex/Animal")
+    assert kb.ask_rdf("ex/Dog", "rdfs/subClassOf", "ex/Animal")

@@ -1,0 +1,84 @@
+"""Property-path suite — ports test_sparql_property_paths.clj:54-186.
+Fixture C10: numbers triples + ex/a knows ex/b, ex/b knows ex/c."""
+
+import pytest
+
+from tests.conftest import TEST_TRIPLES_PATHS, load_fixture
+
+
+@pytest.fixture()
+def pkb(kb):
+    return load_fixture(kb, TEST_TRIPLES_PATHS)
+
+
+def test_plain_predicate(pkb):
+    assert pkb.count([("ex/a", "foaf/knows", "?/person")]) == 1
+
+
+def test_one_or_more(pkb):
+    # :58-60 — a knows+ -> {b, c}
+    res = pkb.query([("ex/a", ["foaf/knows", "+"], "?/person")])
+    assert {b["person"].v.rsplit("/", 1)[-1] for b in res} == {"b", "c"}
+
+
+def test_zero_or_more_includes_self(pkb):
+    # :61-63 — a knows* -> {a, b, c} (self via zero-length path!)
+    res = pkb.query([("ex/a", ["foaf/knows", "*"], "?/person")])
+    assert {b["person"].v.rsplit("/", 1)[-1] for b in res} == {"a", "b", "c"}
+
+
+def test_zero_or_one(pkb):
+    # :64-66 — a knows? -> {a, b}
+    res = pkb.query([("ex/a", ["foaf/knows", "?"], "?/person")])
+    assert {b["person"].v.rsplit("/", 1)[-1] for b in res} == {"a", "b"}
+
+
+def test_sequence(pkb):
+    # :68-72 — (knows age): a's friend b has age 40 -> 1 row
+    res = pkb.query([("ex/a", ("foaf/knows", "foaf/age"), "?/age")])
+    assert len(res) == 1
+    assert res[0]["age"].v == "40"
+
+
+def test_plus_then_seq(pkb):
+    # :73-79 — ([knows +] age) from a -> ages of b and c
+    res = pkb.query([("ex/a", (["foaf/knows", "+"], "foaf/age"), "?/age")])
+    assert sorted(b["age"].v for b in res) == ["40", "50"]
+
+
+def test_star_seq_with_var_subject(pkb):
+    # :81-89 — (?/p ([knows *] age) 40) -> 3 (a via a*, a via b, b via b*)...
+    # reference oracle: 3 bindings
+    res = pkb.query([("?/p", (["foaf/knows", "*"], "foaf/age"), 40)])
+    assert len(res) == 3
+
+
+def test_alternation(pkb):
+    # (:or givenname firstname) hits all three people
+    res = pkb.query([("?/p", (":or", "foaf/givenname", "foaf/firstname"), "?/n")])
+    assert len(res) == 3
+
+
+def test_inverse(pkb):
+    res = pkb.query([("ex/b", (":inverse", "foaf/knows"), "?/who")])
+    assert len(res) == 1
+    assert res[0]["who"].v.endswith("/a")
+
+
+def test_bounded_repeat(pkb):
+    # knows{1,2} from a -> {b, c}; knows{2} -> {c}
+    res = pkb.query([("ex/a", ["foaf/knows", 1, 2], "?/p")])
+    assert {b["p"].v.rsplit("/", 1)[-1] for b in res} == {"b", "c"}
+    res = pkb.query([("ex/a", ["foaf/knows", 2], "?/p")])
+    assert {b["p"].v.rsplit("/", 1)[-1] for b in res} == {"c"}
+
+
+def test_path_joined_with_bgp(pkb):
+    # path pattern conjoined with an ordinary triple pattern
+    res = pkb.query(
+        [
+            ("ex/a", ["foaf/knows", "+"], "?/person"),
+            ("?/person", "foaf/age", "?/age"),
+        ]
+    )
+    assert sorted(b["age"].v for b in res) == ["40", "50"]
