@@ -1,0 +1,179 @@
+"""Benchmark harness — one JSON line on stdout.
+
+Headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] (default 32):
+  * kg_pipeline   — the north-star transcript->KG pipeline (extract -> LSH
+                    link -> CC canonicalize -> pred-bucketed materialize),
+                    sized from the sf's documents row count
+  * BGP/path/rule queries over the derived triple table
+  * dedup / similarity / text ops over documents + embeddings
+
+`--scaling` mode runs the pipeline at local[8] and local[32] on identical
+input and prints throughput at both + efficiency = (tps32/tps8)/4 — the
+sandbox proxy for the N vs 4N executor cluster requirement (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def make_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("kr_spark_bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
+        .getOrCreate()
+    )
+
+
+def _consume(df) -> int:
+    """Evaluate the full plan without driver materialization cost."""
+    return df.count()
+
+
+def bench_kg_pipeline(spark, sf_dir: str) -> tuple[float, int, int]:
+    """-> (seconds, n_turns, n_triples). Input sized from documents rows."""
+    from pyspark.sql import functions as F
+
+    from kr_spark.pipeline.materialize import run_pipeline
+    from kr_spark.pipeline.transcripts import TURNS_PER_CONV, generate_transcripts
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    n_convs = max(200, n_docs)
+    out = tempfile.mkdtemp(prefix="kr_bench_kg_")
+    try:
+        t0 = time.time()
+        transcripts = generate_transcripts(spark, n_convs)
+        triples = run_pipeline(spark, transcripts, out, n_buckets=8)
+        n_triples = triples.count()
+        dt = time.time() - t0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return dt, n_convs * TURNS_PER_CONV, n_triples
+
+
+def run_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
+    from kr_spark.entry_queries import QUERIES
+
+    out = {}
+    for name in names:
+        t0 = time.time()
+        _consume(QUERIES[name](spark, sf_dir))
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+BENCH_QUERIES = [
+    "q_bgp_2hop",
+    "q_count_pattern",
+    "q_optional",
+    "q_union",
+    "q_filter_numeric",
+    "q_construct",
+    "q_path_seq",
+    "q_path_transitive",
+    "q_forward_rule_md5",
+    "q_canon_cc",
+    "q_dedup_exact",
+    "q_ngram_jaccard",
+    "q_minhash_lsh_pairs",
+    "q_simhash",
+    "q_lang_id",
+    "q_cosine_topk",
+    "q_kg_pipeline",
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--scaling", action="store_true", help="local[8] vs local[32] efficiency run")
+    args = ap.parse_args()
+
+    sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    if args.scaling:
+        results = {}
+        for cpus in (8, 32):
+            spark = make_spark(cpus)
+            spark.sparkContext.setLogLevel("ERROR")
+            dt, n_turns, n_triples = bench_kg_pipeline(spark, args.sf_dir)
+            results[cpus] = {
+                "wall_s": round(dt, 3),
+                "turns_per_sec": round(n_turns / dt, 1),
+                "triples_per_sec": round(n_triples / dt, 1),
+                "n_triples": n_triples,
+            }
+            spark.stop()
+        eff = (results[32]["triples_per_sec"] / results[8]["triples_per_sec"]) / 4.0
+        print(
+            json.dumps(
+                {
+                    "metric": "kg_pipeline_scaling",
+                    "value": round(eff, 3),
+                    "unit": "efficiency",
+                    "local8": results[8],
+                    "local32": results[32],
+                    "sf": sf,
+                }
+            )
+        )
+        return
+
+    spark = make_spark(args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries: dict[str, float] = {}
+    t_total0 = time.time()
+
+    dt, n_turns, n_triples = bench_kg_pipeline(spark, args.sf_dir)
+    queries["kg_pipeline"] = round(dt, 3)
+    tps = round(n_triples / dt, 1)
+
+    queries.update(run_queries(spark, args.sf_dir, [q for q in BENCH_QUERIES if q != "q_kg_pipeline"]))
+
+    total = round(time.time() - t_total0, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "kg_triples_per_sec": tps,
+                "kg_turns": n_turns,
+                "kg_triples": n_triples,
+                "cpus": args.cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -621,7 +621,7 @@ SELECT DISTINCT
              WHEN 1 THEN 'http://kg.example.org/rel/knows'
              ELSE 'http://kg.example.org/rel/emailed' END AS p,
   CASE WHEN ttype = 0
-       THEN 'http://kg.example.org/entity/org' || {stem('o1')}
+       THEN 'http://kg.example.org/entity/' || {stem('o1')} || 'corp'
        ELSE 'http://kg.example.org/entity/' || {stem('p2')} || 'x' || {stem('p2')} || 'son'
   END AS o
 FROM rel

@@ -54,6 +54,18 @@ TRIPLE_SCHEMA = T.StructType(
 TRIPLE_KEY = ["s_kind", "s", "p", "o_kind", "o", "o_lang", "o_datatype", "graph"]
 
 
+def anti_join_null_safe(new: DataFrame, existing: DataFrame, keys: list[str]) -> DataFrame:
+    """LEFT ANTI on keys with null-safe equality (<=>) — nullable key columns
+    (o_lang/o_datatype/graph) must compare equal when both NULL, else every
+    NULL-keyed triple is 'fresh' forever and set semantics breaks."""
+    ex = existing.select(*[F.col(k).alias(f"__k_{k}") for k in keys])
+    cond = None
+    for k in keys:
+        c = new[k].eqNullSafe(F.col(f"__k_{k}"))
+        cond = c if cond is None else (cond & c)
+    return new.join(ex, cond, "left_anti")
+
+
 def triple_row(
     s: Term,
     p: Term,
@@ -141,7 +153,7 @@ class KB:
         """Append a DataFrame already in TRIPLE_SCHEMA, with set-semantics dedup."""
         self.flush()
         new = df.select(*TRIPLE_SCHEMA.fieldNames())
-        fresh = new.join(self._df.select(*TRIPLE_KEY), on=TRIPLE_KEY, how="left_anti")
+        fresh = anti_join_null_safe(new, self._df, TRIPLE_KEY)
         # localCheckpoint: truncate the union/anti-join lineage so query plans
         # against a mutated KB stay shallow (same role as the fixpoint loop's
         # per-iteration checkpoint; at scale this is the Iceberg table commit)
@@ -156,7 +168,7 @@ class KB:
             TRIPLE_KEY
         )
         self._pending = []
-        fresh = batch.join(self._df.select(*TRIPLE_KEY), on=TRIPLE_KEY, how="left_anti")
+        fresh = anti_join_null_safe(batch, self._df, TRIPLE_KEY)
         self._df = self._df.unionByName(fresh).localCheckpoint()
 
     def df(self) -> DataFrame:

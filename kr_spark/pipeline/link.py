@@ -70,7 +70,7 @@ def lsh_candidate_pairs(
     )
 
 
-def score_candidates_arrow(candidates: DataFrame, threshold: float = 0.4) -> DataFrame:
+def score_candidates_arrow(candidates: DataFrame, threshold: float = 0.55) -> DataFrame:
     """Arrow-batched pandas scoring of candidate pairs: char-trigram Jaccard.
     Vectorized per batch (set ops in Python over short strings — this is the
     pluggable scorer seam; swap for embedding cosine or a cross-encoder)."""
@@ -95,7 +95,7 @@ def score_candidates_arrow(candidates: DataFrame, threshold: float = 0.4) -> Dat
 
 
 def link_entities(
-    mentions: DataFrame, surface_col: str = "surface", threshold: float = 0.4
+    mentions: DataFrame, surface_col: str = "surface", threshold: float = 0.55
 ) -> DataFrame:
     """Full linking: blocking -> scoring -> same-as edges (a, b)."""
     cand = lsh_candidate_pairs(mentions, surface_col)

@@ -14,7 +14,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
+
+# allow `spark-submit kr_spark/pipeline/run.py` straight from a checkout;
+# on a cluster, ship the package with --py-files kr_spark.zip instead
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 
 
 def main() -> None:
@@ -23,7 +29,7 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--buckets", type=int, default=16)
     ap.add_argument("--cores", type=int, default=None, help="local[N]; default local[*]")
-    ap.add_argument("--extractor", choices=["arrow", "expr"], default="expr")
+    ap.add_argument("--extractor", choices=["arrow", "expr"], default="arrow")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession

@@ -69,7 +69,10 @@ def person_surface(idx: Column, alias_idx: Column) -> Column:
 
 
 def org_surface(idx: Column) -> Column:
-    return F.concat(F.lit("org"), _stem(idx))
+    """Org surface '<stem>corp' — suffix (not prefix) marker so two orgs
+    share at most the {cor, orp} trigrams (J<=0.3, safely under the 0.55
+    link threshold; a shared 'org' PREFIX put cross-org Jaccard at 0.6)."""
+    return F.concat(_stem(idx), F.lit("corp"))
 
 
 def _row_indices(df: DataFrame) -> DataFrame:

@@ -60,9 +60,11 @@ class ParquetTripleStore:
 
     def append_idempotent(self, df: DataFrame) -> None:
         """MERGE-INTO stand-in: left-anti against current keys, append."""
+        from kr_spark.kb import anti_join_null_safe
+
         new = df.select(*TRIPLE_SCHEMA.fieldNames()).dropDuplicates(TRIPLE_KEY)
         if self.exists():
-            new = new.join(self.read().select(*TRIPLE_KEY), on=TRIPLE_KEY, how="left_anti")
+            new = anti_join_null_safe(new, self.read(), TRIPLE_KEY)
             self._with_bucket(new).write.mode("append").partitionBy("p_bucket").parquet(
                 os.path.join(self.path, "data")
             )
