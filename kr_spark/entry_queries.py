@@ -27,9 +27,26 @@ RE = KG + "rel/"
 TY = KG + "type/"
 ENT = "http://kg.example.org/entity/"
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDFS_SUB = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+RDFS_DOM = "http://www.w3.org/2000/01/rdf-schema#domain"
 FOAF_NAME = "http://xmlns.com/foaf/0.1/name"
 XSD_DOUBLE = "http://www.w3.org/2001/XMLSchema#double"
 ORDERS_GRAPH = KG + "graph/orders"
+
+# class hierarchy + predicate domains (C3/C4/K9 fixtures); pure constants
+_SCHEMA_TRIPLES = [
+    (TY + "Customer", RDFS_SUB, TY + "Agent"),
+    (TY + "Supplier", RDFS_SUB, TY + "Agent"),
+    (TY + "Agent", RDFS_SUB, TY + "Entity"),
+    (TY + "Nation", RDFS_SUB, TY + "Place"),
+    (TY + "Region", RDFS_SUB, TY + "Place"),
+    (TY + "Place", RDFS_SUB, TY + "Entity"),
+    (RE + "acctbal", RDFS_DOM, TY + "Customer"),
+    (RE + "inRegion", RDFS_DOM, TY + "Nation"),
+    (RE + "inNation", RDFS_DOM, TY + "Agent"),
+    (RE + "by", RDFS_DOM, TY + "Order"),
+]
 
 _NS = {
     "kgc": CUST,
@@ -138,6 +155,23 @@ def derive_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ]
+    # static schema triples as a VALUES LocalRelation (NOT createDataFrame:
+    # that makes a Python-RDD-backed scan that can't be constant-folded, so
+    # every pattern's p=const filter would keep the branch alive and pay a
+    # Python worker round-trip per query; a LocalRelation folds to nothing
+    # when the filter rules it out)
+    vals = ", ".join(f"('{s}', '{p}', '{o}')" for s, p, o in _SCHEMA_TRIPLES)
+    parts.append(
+        spark.sql(
+            f"""SELECT 'uri' AS s_kind, col1 AS s, col2 AS p, 'uri' AS o_kind,
+                   col3 AS o, CAST(NULL AS STRING) AS o_lang,
+                   CAST(NULL AS STRING) AS o_datatype,
+                   CAST(NULL AS DECIMAL(38,9)) AS num_val,
+                   CAST(NULL AS STRING) AS graph, CAST(NULL AS STRING) AS conv_id,
+                   CAST(NULL AS INT) AS turn_idx, CAST(NULL AS STRING) AS rule_id
+            FROM VALUES {vals}"""
+        )
+    )
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p)
@@ -392,6 +426,168 @@ def q_canon_cc(spark, sf_dir):
 
 
 # =====================================================================
+# ask / more paths / reification / rules-to-fixpoint / type inference
+# =====================================================================
+
+
+def q_ask(spark, sf_dir):
+    """Q3: ASK — positive and negative existence over BGPs, as a 1-row df."""
+    kb = make_kb(spark, sf_dir)
+    pos = kb.ask(
+        [
+            ("?/c", "rdf/type", "ty/Customer"),
+            ("?/c", "rel/acctbal", "?/b"),
+            (">", "?/b", 9000),
+        ]
+    )
+    neg = kb.ask([("?/x", "rdf/type", "ty/Unicorn")])
+    return spark.createDataFrame([(int(pos), int(neg))], "ask_pos int, ask_neg int")
+
+
+def q_path_star(spark, sf_dir):
+    """P1: zero-or-more — locatedIn* binds each customer to itself too."""
+    kb = make_kb(spark, sf_dir)
+    return _flat(
+        kb,
+        [("?/c", "rdf/type", "ty/Customer"), ("?/c", ["rel/locatedIn", "*"], "?/y")],
+        [("c", "cust"), ("y", "dest")],
+        distinct=True,
+    )
+
+
+def q_path_zero_or_one(spark, sf_dir):
+    """P3: zero-or-one — locatedIn? = self + direct nation."""
+    kb = make_kb(spark, sf_dir)
+    return _flat(
+        kb,
+        [("?/c", "rdf/type", "ty/Customer"), ("?/c", ["rel/locatedIn", "?"], "?/y")],
+        [("c", "cust"), ("y", "dest")],
+        distinct=True,
+    )
+
+
+def q_path_alt(spark, sf_dir):
+    """P6: alternation (inNation | inRegion)."""
+    kb = make_kb(spark, sf_dir)
+    return _flat(
+        kb,
+        [("?/x", (":or", "rel/inNation", "rel/inRegion"), "?/y")],
+        [("x", "src"), ("y", "dst")],
+        distinct=True,
+    )
+
+
+def q_path_inverse(spark, sf_dir):
+    """P7: inverse path ^inNation — nation back to its customers/suppliers."""
+    kb = make_kb(spark, sf_dir)
+    return _flat(
+        kb,
+        [("?/n", (":inverse", "rel/inNation"), "?/x")],
+        [("n", "nat"), ("x", "member")],
+        distinct=True,
+    )
+
+
+def q_reify_statement(spark, sf_dir):
+    """R1: standard reification — each (cust, inNation, nat) statement
+    becomes 4 triples under a deterministic md5-skolemized statement node."""
+    from kr_spark.operators.reify import reify_statements_df
+
+    customer = _read(spark, sf_dir, "customer")
+    stmts = customer.select(
+        _uri(CUST, F.col("c_custkey")).alias("s"),
+        F.lit(RE + "inNation").alias("p"),
+        _uri(NAT, F.col("c_nationkey")).alias("o"),
+    )
+    return reify_statements_df(stmts, ns=ENT, prefix="STMT_").select("s", "p", "o")
+
+
+def q_reify_localname(spark, sf_dir):
+    """K1+R4: forward rule minting localname-joined site nodes
+    (ent/SITE_<custkey>_<nationkey>)."""
+    from kr_spark.operators.rules import rule_head_df
+
+    kb = make_kb(spark, sf_dir)
+    rule = {
+        "name": "site-rule",
+        "head": [("?/c", "rel/atSite", "?/site")],
+        "body": [
+            ("?/c", "rdf/type", "ty/Customer"),
+            ("?/c", "rel/inNation", "?/n"),
+        ],
+        "reify": [
+            {"var": "?/site", "ln": ("localname", "?/c", "?/n"), "ns": ENT, "prefix": "SITE_"}
+        ],
+    }
+    return rule_head_df(kb, rule).select("s", "p", "o")
+
+
+def q_rules_fixpoint(spark, sf_dir):
+    """K9: RDFS-style type inheritance run as a forward rule to fixpoint —
+    (x type t)(t subClassOf sup) => (x type sup), iterated to convergence."""
+    from kr_spark.operators.rules import run_rules_to_fixpoint
+
+    kb = make_kb(spark, sf_dir)
+    rule = {
+        "name": "rdfs9-type-inheritance",
+        "head": [("?/x", "rdf/type", "?/sup")],
+        "body": [
+            ("?/x", "rdf/type", "?/t"),
+            ("?/t", "rdfs/subClassOf", "?/sup"),
+        ],
+    }
+    run_rules_to_fixpoint(kb, [rule])
+    return (
+        kb.df()
+        .filter(F.col("p") == RDF_TYPE)
+        .select(F.col("s").alias("node"), F.col("o").alias("type"))
+        .distinct()
+    )
+
+
+def q_type_infer(spark, sf_dir):
+    """C3: candidate types = explicit rdf:type + rdfs:domain of used preds."""
+    from kr_spark.operators.canon import infer_subject_types
+
+    return infer_subject_types(derive_triples(spark, sf_dir)).select("node", "type")
+
+
+def q_most_specific_types(spark, sf_dir):
+    """C4: reduce candidate type sets to minimal elements (drop strict
+    ancestors via anti-join against the subClassOf+ closure)."""
+    from kr_spark.operators.canon import infer_subject_types, most_specific_types
+
+    triples = derive_triples(spark, sf_dir)
+    return most_specific_types(infer_subject_types(triples), triples).select(
+        "node", "type"
+    )
+
+
+def q_ntriples_roundtrip(spark, sf_dir):
+    """S2+S4: serialize customer-name triples to N-Triples lines and parse
+    them back — exact term round-trip incl. lang tags."""
+    from kr_spark.sources.ntriples import export_ntriples, parse_ntriples_df
+
+    customer = _read(spark, sf_dir, "customer")
+    triples = customer.select(
+        *_t(
+            _uri(CUST, F.col("c_custkey")),
+            FOAF_NAME,
+            F.col("c_name"),
+            "literal",
+            o_lang="en",
+        )
+    )
+    lines = export_ntriples(triples)
+    back = parse_ntriples_df(spark, lines)
+    return back.select(
+        F.col("s").alias("cust"),
+        F.col("o").alias("cname"),
+        F.col("o_lang").alias("lang"),
+    )
+
+
+# =====================================================================
 # dedup / text ops over documents
 # =====================================================================
 
@@ -412,13 +608,10 @@ def q_ngram_jaccard(spark, sf_dir):
 
 def q_minhash_bands(spark, sf_dir):
     """MinHash signature + LSH banding (exact band signatures)."""
-    from kr_spark.operators.dedup import minhash_bands, minhash_signature, word_shingles
+    from kr_spark.operators.dedup import minhash_band_rows, word_shingles
 
     docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    sig = minhash_signature(word_shingles(F.col("text"), 3), 16)
-    return docs.select(
-        "doc_id", F.explode(minhash_bands(sig, 4, 4)).alias("b")
-    ).select("doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_sig").alias("band_sig"))
+    return minhash_band_rows(docs, "doc_id", word_shingles(F.col("text"), 3), 16, 4)
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
@@ -429,10 +622,10 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    from kr_spark.operators.dedup import simhash64
+    from kr_spark.operators.dedup import simhash_fingerprints
 
     docs = _read(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash64(F.col("text")).alias("fp"))
+    return simhash_fingerprints(docs, id_col="doc_id", text_col="text")
 
 
 def q_lang_id(spark, sf_dir):
@@ -456,6 +649,20 @@ def q_fingerprint(spark, sf_dir):
     return fingerprint(docs).select("doc_id", "fp")
 
 
+def q_quality_score(spark, sf_dir):
+    from kr_spark.operators.textstats import quality_score
+
+    docs = _read(spark, sf_dir, "documents")
+    return quality_score(docs).select("doc_id", "quality")
+
+
+def q_bpe_token_count(spark, sf_dir):
+    from kr_spark.operators.textstats import bpe_ish_token_count
+
+    docs = _read(spark, sf_dir, "documents")
+    return bpe_ish_token_count(docs).select("doc_id", "n_subtokens")
+
+
 # =====================================================================
 # similarity over embeddings
 # =====================================================================
@@ -469,6 +676,22 @@ def q_cosine_topk(spark, sf_dir):
     return cosine_topk_bruteforce(emb, queries, k=5).select(
         "query_id", "neighbor_id", "rank", "cosine"
     )
+
+
+def q_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact verification path: explicit
+    all-pairs candidates so the SQL oracle is closed-form; the LSH-bucketed
+    candidate path is exercised by q_ann_lsh_topk + tests)."""
+    from kr_spark.operators.dedup import embedding_cosine_neardup_pairs
+
+    emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    ids = emb.select("vec_id")
+    cand = (
+        ids.select(F.col("vec_id").alias("id_a"))
+        .crossJoin(ids.select(F.col("vec_id").alias("id_b")))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    return embedding_cosine_neardup_pairs(emb, threshold=0.35, candidates=cand)
 
 
 def q_ann_lsh_topk(spark, sf_dir):
@@ -513,8 +736,11 @@ def q_kg_pipeline(spark, sf_dir):
 _CU = f"'{CUST}' || CAST(c_custkey AS VARCHAR)"
 _NA_C = f"'{NAT}' || CAST(c_nationkey AS VARCHAR)"
 _NA = f"'{NAT}' || CAST(n_nationkey AS VARCHAR)"
+_NA_S = f"'{NAT}' || CAST(s_nationkey AS VARCHAR)"
 _RG_N = f"'{REG}' || CAST(n_regionkey AS VARCHAR)"
+_RG = f"'{REG}' || CAST(r_regionkey AS VARCHAR)"
 _SU = f"'{SUP}' || CAST(s_suppkey AS VARCHAR)"
+_OR = f"'{ORD}' || CAST(o_orderkey AS VARCHAR)"
 
 _NORM_TEXT = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
 _TOKS = f"string_split({_NORM_TEXT}, ' ')"
@@ -707,6 +933,85 @@ ORACLES = {
         UNION ALL
         SELECT dept AS s, '{RDF_TYPE}' AS p, '{TY}Department' AS o FROM minted
     """,
+    "q_ask": """
+        SELECT CAST(EXISTS(SELECT 1 FROM customer WHERE c_acctbal > 9000) AS INTEGER) AS ask_pos,
+               CAST(0 AS INTEGER) AS ask_neg
+    """,
+    "q_path_star": f"""
+        SELECT {_CU} AS cust, {_CU} AS dest FROM customer
+        UNION
+        SELECT {_CU} AS cust, {_NA_C} AS dest FROM customer
+        UNION
+        SELECT {_CU} AS cust, {_RG_N} AS dest
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
+    "q_path_zero_or_one": f"""
+        SELECT {_CU} AS cust, {_CU} AS dest FROM customer
+        UNION
+        SELECT {_CU} AS cust, {_NA_C} AS dest FROM customer
+    """,
+    "q_path_alt": f"""
+        SELECT {_CU} AS src, {_NA_C} AS dst FROM customer
+        UNION
+        SELECT {_SU} AS src, {_NA_S} AS dst FROM supplier
+        UNION
+        SELECT {_NA} AS src, {_RG_N} AS dst FROM nation
+    """,
+    "q_path_inverse": f"""
+        SELECT {_NA_C} AS nat, {_CU} AS member FROM customer
+        UNION
+        SELECT {_NA_S} AS nat, {_SU} AS member FROM supplier
+    """,
+    "q_reify_statement": f"""
+        WITH base AS (
+          SELECT {_CU} AS s, '{RE}inNation' AS p, {_NA_C} AS o FROM customer
+        ), m AS (
+          SELECT '{ENT}STMT_' || md5(s || chr(31) || p || chr(31) || o) AS n, s, p, o
+          FROM base
+        )
+        SELECT n AS s, '{RDF_NS}type' AS p, '{RDF_NS}Statement' AS o FROM m
+        UNION ALL SELECT n AS s, '{RDF_NS}subject' AS p, s AS o FROM m
+        UNION ALL SELECT n AS s, '{RDF_NS}predicate' AS p, p AS o FROM m
+        UNION ALL SELECT n AS s, '{RDF_NS}object' AS p, o AS o FROM m
+    """,
+    "q_reify_localname": f"""
+        SELECT {_CU} AS s, '{RE}atSite' AS p,
+               '{ENT}SITE_' || CAST(c_custkey AS VARCHAR) || '_'
+                            || CAST(c_nationkey AS VARCHAR) AS o
+        FROM customer
+    """,
+    "q_rules_fixpoint": f"""
+        SELECT {_CU} AS node, t.t AS type FROM customer
+        CROSS JOIN (VALUES ('{TY}Customer'), ('{TY}Agent'), ('{TY}Entity')) t(t)
+        UNION
+        SELECT {_SU} AS node, t.t AS type FROM supplier
+        CROSS JOIN (VALUES ('{TY}Supplier'), ('{TY}Agent'), ('{TY}Entity')) t(t)
+        UNION
+        SELECT {_NA} AS node, t.t AS type FROM nation
+        CROSS JOIN (VALUES ('{TY}Nation'), ('{TY}Place'), ('{TY}Entity')) t(t)
+        UNION
+        SELECT {_RG} AS node, t.t AS type FROM region
+        CROSS JOIN (VALUES ('{TY}Region'), ('{TY}Place'), ('{TY}Entity')) t(t)
+    """,
+    "q_type_infer": f"""
+        SELECT {_CU} AS node, '{TY}Customer' AS type FROM customer
+        UNION SELECT {_CU} AS node, '{TY}Agent' AS type FROM customer
+        UNION SELECT {_SU} AS node, '{TY}Supplier' AS type FROM supplier
+        UNION SELECT {_SU} AS node, '{TY}Agent' AS type FROM supplier
+        UNION SELECT {_NA} AS node, '{TY}Nation' AS type FROM nation
+        UNION SELECT {_RG} AS node, '{TY}Region' AS type FROM region
+        UNION SELECT {_OR} AS node, '{TY}Order' AS type FROM orders
+    """,
+    "q_most_specific_types": f"""
+        SELECT {_CU} AS node, '{TY}Customer' AS type FROM customer
+        UNION SELECT {_SU} AS node, '{TY}Supplier' AS type FROM supplier
+        UNION SELECT {_NA} AS node, '{TY}Nation' AS type FROM nation
+        UNION SELECT {_RG} AS node, '{TY}Region' AS type FROM region
+        UNION SELECT {_OR} AS node, '{TY}Order' AS type FROM orders
+    """,
+    "q_ntriples_roundtrip": f"""
+        SELECT {_CU} AS cust, c_name AS cname, 'en' AS lang FROM customer
+    """,
     "q_canon_cc": """
         SELECT c_custkey AS node,
                MIN(c_custkey) OVER (PARTITION BY c_nationkey) AS component
@@ -778,6 +1083,50 @@ ORACLES = {
     "q_fingerprint": f"""
         SELECT doc_id, md5({_NORM_TEXT}) AS fp FROM documents
     """,
+    "q_quality_score": f"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(length(text) AS DOUBLE) AS n_chars,
+                 CAST(CASE WHEN trim(text) = '' THEN 0
+                      ELSE len({_TOKS}) END AS DOUBLE) AS n_tokens,
+                 CAST(len(regexp_extract_all(text, '[^\\sA-Za-z0-9]')) AS DOUBLE) AS n_punct,
+                 CAST(({_lang_hits_sql('en')}) AS DOUBLE) AS stop_hits
+          FROM documents
+        ), q AS (
+          SELECT doc_id,
+                 LEAST(n_tokens / 100.0, 1.0) AS len_band,
+                 CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
+                 CASE WHEN n_tokens > 0 THEN LEAST(stop_hits / n_tokens * 5.0, 1.0)
+                      ELSE 0.0 END AS stop_ratio,
+                 CASE WHEN (CASE WHEN n_tokens > 0 THEN n_chars / n_tokens ELSE 0.0 END)
+                           BETWEEN 3 AND 10 THEN 1.0 ELSE 0.3 END AS wordlen_ok
+          FROM t
+        )
+        SELECT doc_id,
+               ROUND(0.35 * len_band + 0.25 * stop_ratio + 0.25 * wordlen_ok
+                     + 0.15 * (1.0 - LEAST(punct_ratio * 5.0, 1.0)), 6) AS quality
+        FROM q
+    """,
+    "q_bpe_token_count": """
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}'))
+                    + len(regexp_extract_all(text, '[^\\sA-Za-z0-9]')) AS INTEGER) AS n_subtokens
+        FROM documents
+    """,
+    "q_embed_neardup": """
+        WITH v AS (
+          SELECT vec_id, embedding,
+                 sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+          FROM embeddings WHERE vec_id < 300
+        ), scored AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[]))
+                       / (a.nrm * b.nrm), 6) AS cosine
+          FROM v a JOIN v b ON a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.35
+    """,
     "q_cosine_topk": """
         WITH v AS (
           SELECT vec_id, embedding,
@@ -803,6 +1152,20 @@ ORACLES = {
 
 
 QUERIES = {
+    "q_ask": q_ask,
+    "q_path_star": q_path_star,
+    "q_path_zero_or_one": q_path_zero_or_one,
+    "q_path_alt": q_path_alt,
+    "q_path_inverse": q_path_inverse,
+    "q_reify_statement": q_reify_statement,
+    "q_reify_localname": q_reify_localname,
+    "q_rules_fixpoint": q_rules_fixpoint,
+    "q_type_infer": q_type_infer,
+    "q_most_specific_types": q_most_specific_types,
+    "q_ntriples_roundtrip": q_ntriples_roundtrip,
+    "q_quality_score": q_quality_score,
+    "q_bpe_token_count": q_bpe_token_count,
+    "q_embed_neardup": q_embed_neardup,
     "q_bgp_2hop": q_bgp_2hop,
     "q_count_pattern": q_count_pattern,
     "q_optional": q_optional,

@@ -87,6 +87,52 @@ def minhash_bands(sig: Column, bands: int, rows: int) -> Column:
     )
 
 
+def minhash_band_rows(
+    df: DataFrame,
+    id_col: str,
+    shingles: Column,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """-> (id_col, band_id, band_sig) LSH band rows, shaped for scale.
+
+    Identical math to `minhash_signature` + `minhash_bands` (sig[j] = min
+    over shingles of md5(j || ':' || shingle); band_sig = md5 of the
+    comma-joined band slice), but restructured: `minhash_signature` inlines
+    the shingles expression num_hashes times inside one projection — a
+    >64KB codegen unit (janino fails, Spark falls back to interpreted and
+    recomputes the shingle array per hash). Here shingles are exploded once,
+    the num_hashes md5s are tiny sibling expressions, and the per-id min is
+    a hash aggregate with map-side partial combine — the shuffle carries
+    num_hashes strings per id, and every stage stays in whole-stage codegen.
+    """
+    rows = num_hashes // bands
+    assert bands * rows == num_hashes
+    ex = df.select(F.col(id_col), F.explode(shingles).alias("__sh"))
+    hashed = ex.select(
+        id_col,
+        *[
+            F.md5(F.concat(F.lit(f"{j}:"), F.col("__sh"))).alias(f"__h{j}")
+            for j in range(num_hashes)
+        ],
+    )
+    sig = hashed.groupBy(id_col).agg(
+        *[F.min(f"__h{j}").alias(f"__m{j}") for j in range(num_hashes)]
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(
+                F.concat_ws(",", *[F.col(f"__m{b * rows + r}") for r in range(rows)])
+            ).alias("band_sig"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("b")
+    ).select(id_col, F.col("b.band_id").alias("band_id"), F.col("b.band_sig").alias("band_sig"))
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -100,12 +146,8 @@ def minhash_lsh_candidates(
 
     bands*rows must equal num_hashes; similarity threshold ~ (1/bands)^(1/rows).
     """
-    rows = num_hashes // bands
-    assert bands * rows == num_hashes
-    sig = minhash_signature(word_shingles(F.col(text_col), shingle_k), num_hashes)
-    banded = (
-        df.select(F.col(id_col), F.explode(minhash_bands(sig, bands, rows)).alias("b"))
-        .select(id_col, F.col("b.band_id").alias("band_id"), F.col("b.band_sig").alias("band_sig"))
+    banded = minhash_band_rows(
+        df, id_col, word_shingles(F.col(text_col), shingle_k), num_hashes, bands
     )
     # skew guard: drop degenerate giant buckets before the self-join
     sized = banded.withColumn(
@@ -209,6 +251,38 @@ def simhash64(text: Column, token_k: int = 1) -> Column:
     return fp
 
 
+def simhash_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """-> (id_col, fp): same fingerprint as `simhash64`, but shaped for scale.
+
+    `simhash64` packs 60 F.aggregate lambdas into one projection — that single
+    generated Java method exceeds janino's 64 KB limit, so Spark silently
+    falls back to interpreted (non-codegen) evaluation. Here we instead
+    explode distinct tokens and compute the 60 per-bit vote counts as a
+    hash-aggregate of 60 tiny `sum((h>>b)&1)` expressions: each stays inside
+    whole-stage codegen, partial aggregation runs map-side, and the shuffle
+    carries only 61 longs per document. Bit b of the fingerprint is set iff
+    2*cnt_b > n_tokens (== sum of +-1 votes > 0), identical to `simhash64`.
+    """
+    toks = F.array_distinct(F.split(normalized_text(F.col(text_col)), " "))
+    ex = df.select(F.col(id_col), F.explode(toks).alias("tok")).select(
+        id_col,
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"c{b}")
+        for b in range(60)
+    ]
+    votes = ex.groupBy(id_col).agg(*aggs)
+    fp = F.lit(0).cast("long")
+    for b in range(60):
+        fp = fp + F.when(
+            F.col(f"c{b}") * 2 > F.col("n"), F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select(F.col(id_col), fp.alias("fp"))
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -222,7 +296,7 @@ def simhash_neardup_pairs(
     pigeonhole, any pair within hamming distance 3 shares at least one exact
     block -> equi-join per block, then exact hamming filter via bit_count.
     """
-    fp = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("fp"))
+    fp = simhash_fingerprints(df, id_col=id_col, text_col=text_col)
     blocks = fp.select(
         id_col,
         "fp",

@@ -158,6 +158,40 @@ def _apply_fn_reify(kb, df, spec: dict, plan_vars: set):
     return df.withColumn(name, minted)
 
 
+def reify_statements_df(stmts, ns: str, prefix: str = "STMT_"):
+    """R1 at scale: a DataFrame of (s, p, o) URI statements -> 4 standard
+    reification triples each (rdf.clj:454-491), with a deterministic
+    md5-skolemized statement node (stable across partitioning/retries).
+    Pure projections + one union — no shuffle."""
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    node = F.concat(
+        F.lit(ns + prefix), F.md5(F.concat_ws("\x1f", F.col("s"), F.col("p"), F.col("o")))
+    )
+    base = stmts.select(node.alias("n"), "s", "p", "o")
+    parts = [
+        base.select(
+            F.col("n").alias("s"),
+            F.lit(rdf + "type").alias("p"),
+            F.lit(rdf + "Statement").alias("o"),
+        ),
+        base.select(
+            F.col("n").alias("s"), F.lit(rdf + "subject").alias("p"), F.col("s").alias("o")
+        ),
+        base.select(
+            F.col("n").alias("s"),
+            F.lit(rdf + "predicate").alias("p"),
+            F.col("p").alias("o"),
+        ),
+        base.select(
+            F.col("n").alias("s"), F.lit(rdf + "object").alias("p"), F.col("o").alias("o")
+        ),
+    ]
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out
+
+
 def reify_statement_triples(kb, s, p, o) -> list[tuple]:
     """Standard RDF reification: 1 statement -> 4 triples (R1,
     rdf.clj:454-491): the minted node gets rdf:Statement type + s/p/o links."""

@@ -48,17 +48,10 @@ def lsh_candidate_pairs(
     """MinHash-LSH blocking over char shingles -> candidate pairs
     (surface_a < surface_b). bands=12/rows=2: P(candidate) ≈ 0.9997 at
     Jaccard 0.67 (same-entity aliases), ≈ 0.02 at 0.14 (cross-entity)."""
-    from kr_spark.operators.dedup import minhash_bands, minhash_signature
+    from kr_spark.operators.dedup import minhash_band_rows
 
-    rows = num_hashes // bands
-    sig = minhash_signature(char_shingles(F.col(surface_col)), num_hashes)
-    banded = mentions.select(
-        F.col(surface_col),
-        F.explode(minhash_bands(sig, bands, rows)).alias("b"),
-    ).select(
-        surface_col,
-        F.col("b.band_id").alias("band_id"),
-        F.col("b.band_sig").alias("band_sig"),
+    banded = minhash_band_rows(
+        mentions, surface_col, char_shingles(F.col(surface_col)), num_hashes, bands
     )
     left = banded.select("band_id", "band_sig", F.col(surface_col).alias("surface_a"))
     right = banded.select("band_id", "band_sig", F.col(surface_col).alias("surface_b"))

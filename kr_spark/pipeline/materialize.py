@@ -73,6 +73,28 @@ def _commit_manifest(out_dir: str, bucket: int, record: dict) -> None:
     os.replace(tmp, final)  # atomic commit
 
 
+def ingest_transcripts(spark: SparkSession, transcripts: DataFrame, out_dir: str) -> DataFrame:
+    """Snapshot the input to `out_dir/stage_ingest` parquet once and return
+    the parquet-backed frame.
+
+    Two reasons this is load-bearing:
+      * resume-stable input — a kill+resume re-run must see bit-identical
+        rows even if the upstream frame is expensive or non-reproducible;
+        the snapshot (committed by parquet's _SUCCESS marker) is the frozen
+        input of record, exactly like reading the Iceberg transcripts
+        snapshot on a real cluster.
+      * plan hygiene — every per-bucket job downstream becomes a pruned
+        parquet scan instead of re-evaluating the upstream plan. With the
+        synthetic generator that plan is a >64KB codegen unit (janino gives
+        up -> interpreted fallback), re-paid once per bucket job without
+        this boundary; with it, generation runs exactly once.
+    """
+    path = os.path.join(out_dir, "stage_ingest")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        transcripts.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def run_extract_stage(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -91,15 +113,11 @@ def run_extract_stage(
     )
 
     done = completed_buckets(out_dir)
-    ran = 0
     bucketed = transcripts.withColumn(
         "__bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets))
     )
-    for b in range(n_buckets):
-        if b in done:
-            continue
-        if fail_after is not None and ran >= fail_after:
-            raise RuntimeError(f"injected failure after {ran} buckets")
+
+    def _run_bucket(b: int) -> None:
         t0 = time.time()
         part = bucketed.filter(F.col("__bucket") == b).drop("__bucket")
         extractor = extract_relations_arrow if use_arrow_extractor else extract_relations_expr
@@ -124,8 +142,26 @@ def run_extract_stage(
                 },
             },
         )
-        ran += 1
-    return ran
+
+    todo = [b for b in range(n_buckets) if b not in done]
+    if fail_after is not None:
+        # test hook: run fail_after buckets sequentially, then die — models a
+        # mid-run kill with a deterministic set of committed manifests
+        for b in todo[:fail_after]:
+            _run_bucket(b)
+        raise RuntimeError(f"injected failure after {fail_after} buckets")
+
+    # buckets are independent units of work; submit them concurrently and
+    # let the Spark scheduler interleave their stages (a bucket is far
+    # smaller than the cluster, so serial submission leaves cores idle —
+    # same driver-side pattern as the reference's pmap-query fan-out,
+    # sparql.clj:613-640, but over partition-bucket jobs)
+    from concurrent.futures import ThreadPoolExecutor
+
+    if todo:
+        with ThreadPoolExecutor(max_workers=min(8, len(todo))) as pool:
+            list(pool.map(_run_bucket, todo))
+    return len(todo)
 
 
 def load_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -209,10 +245,12 @@ def run_pipeline(
     fail_after: int | None = None,
     use_arrow_extractor: bool = True,
 ) -> DataFrame:
-    """End-to-end: resumable extract stage + global materialize."""
+    """End-to-end: input snapshot + resumable extract stage + global
+    materialize."""
+    snapshot = ingest_transcripts(spark, transcripts, out_dir)
     run_extract_stage(
         spark,
-        transcripts,
+        snapshot,
         out_dir,
         n_buckets=n_buckets,
         fail_after=fail_after,

@@ -79,10 +79,20 @@ def test_jaccard_with_lsh_candidates_matches_direct(synth_docs):
     assert via_lsh == direct
 
 
-def test_simhash_deterministic_and_close_for_neardups(synth_docs):
-    fp = {r.doc_id: r.fp for r in synth_docs.select(
+def test_simhash_scalable_matches_expr_form(synth_docs):
+    from kr_spark.operators.dedup import simhash_fingerprints
+
+    expr_form = {r.doc_id: r.fp for r in synth_docs.select(
         "doc_id", simhash64(F.col("text")).alias("fp")
     ).collect()}
+    agg_form = {r.doc_id: r.fp for r in simhash_fingerprints(synth_docs).collect()}
+    assert expr_form == agg_form
+
+
+def test_simhash_deterministic_and_close_for_neardups(synth_docs):
+    from kr_spark.operators.dedup import simhash_fingerprints
+
+    fp = {r.doc_id: r.fp for r in simhash_fingerprints(synth_docs).collect()}
     assert fp[1] == fp[2] == fp[3]  # same normalized token set
     assert fp[1] != fp[5]
     pairs = {

@@ -257,3 +257,27 @@ def test_rules_to_fixpoint_rdfs_subclass(kb):
     run_rules_to_fixpoint(kb, [subclass_transitivity, type_inheritance])
     assert kb.ask_rdf("ex/rex", "rdf/type", "ex/Animal")
     assert kb.ask_rdf("ex/Dog", "rdfs/subClassOf", "ex/Animal")
+
+
+def test_reify_statements_df(kb, spark):
+    # R1 at scale: 1 statement -> 4 reification triples, deterministic node
+    from kr_spark.operators.reify import reify_statements_df
+
+    stmts = spark.createDataFrame(
+        [("http://e.org/a", "http://e.org/p", "http://e.org/b")], "s string, p string, o string"
+    )
+    out = reify_statements_df(stmts, ns="http://e.org/", prefix="STMT_")
+    rows = {(r.s, r.p, r.o) for r in out.collect()}
+    assert len(rows) == 4
+    nodes = {s for s, _, _ in rows}
+    assert len(nodes) == 1
+    node = nodes.pop()
+    assert node.startswith("http://e.org/STMT_")
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    assert (node, rdf + "subject", "http://e.org/a") in rows
+    assert (node, rdf + "predicate", "http://e.org/p") in rows
+    assert (node, rdf + "object", "http://e.org/b") in rows
+    assert (node, rdf + "type", rdf + "Statement") in rows
+    # determinism: same statement -> same node on re-run
+    again = {r.s for r in reify_statements_df(stmts, ns="http://e.org/", prefix="STMT_").collect()}
+    assert again == {node}
