@@ -8,9 +8,13 @@ local[$SPARK_GRAFT_CPUS] (default 32):
   * BGP/path/rule queries over the derived triple table
   * dedup / similarity / text ops over documents + embeddings
 
-`--scaling` mode runs the pipeline at local[8] and local[32] on identical
-input and prints throughput at both + efficiency = (tps32/tps8)/4 — the
-sandbox proxy for the N vs 4N executor cluster requirement (BASELINE.md).
+`--scaling` mode runs the pipeline at two core counts (--scale-pair N,4N;
+default 8,32) on identical input and prints throughput at both + efficiency
+= (tps@4N / tps@N) / 4 — the sandbox proxy for the N vs 4N executor cluster
+requirement. Protocol details + measured results: BENCH/BASELINE.md
+(loadavg quiesce between sessions, warm-up pass, best-of-2; this box is
+memory-bandwidth-bound at ~12 effective cores, so the 2,8 pair is the
+meaningful 4x reading).
 """
 
 from __future__ import annotations
@@ -45,8 +49,44 @@ def make_spark(cpus: int):
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
+        # shuffle/spill on tmpfs: the sandbox's virtual disk serializes
+        # concurrent writers, which inverts scaling measurements; a real
+        # cluster has fast local SSDs for shuffle
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark_local"),
+        )
         .getOrCreate()
     )
+
+
+def _cpu_idle_frac(sample_s: float = 2.0) -> float:
+    """Fraction of CPU time spent idle over a short sample window."""
+
+    def snap():
+        parts = open("/proc/stat").readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return vals[3], sum(vals)
+
+    i0, t0 = snap()
+    time.sleep(sample_s)
+    i1, t1 = snap()
+    return (i1 - i0) / max(1, t1 - t0)
+
+
+def _wait_quiesce(idle_frac: float = 0.92, max_wait_s: int = 90) -> None:
+    """Wait until the machine is actually idle — a dying JVM's shutdown/GC
+    threads from the previous measurement otherwise pollute the next timed
+    run (observed 5x wall-time swings on this box). Loadavg is useless here
+    (D-state artifacts keep it high on an idle box); measure real idle time
+    from /proc/stat instead."""
+    t0 = time.time()
+    while time.time() - t0 < max_wait_s:
+        try:
+            if _cpu_idle_frac() >= idle_frac:
+                return
+        except OSError:
+            return
 
 
 def _consume(df) -> int:
@@ -54,15 +94,18 @@ def _consume(df) -> int:
     return df.count()
 
 
-def bench_kg_pipeline(spark, sf_dir: str) -> tuple[float, int, int]:
-    """-> (seconds, n_turns, n_triples). Input sized from documents rows."""
+def bench_kg_pipeline(spark, sf_dir: str, n_convs: int | None = None) -> tuple[float, int, int]:
+    """-> (seconds, n_turns, n_triples). Input sized from documents rows
+    unless n_convs is given explicitly (scaling runs use a fixed larger
+    input so compute dominates fixed per-job overheads)."""
     from pyspark.sql import functions as F
 
     from kr_spark.pipeline.materialize import run_pipeline
     from kr_spark.pipeline.transcripts import TURNS_PER_CONV, generate_transcripts
 
-    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-    n_convs = max(200, n_docs)
+    if n_convs is None:
+        n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        n_convs = max(200, n_docs)
     out = tempfile.mkdtemp(prefix="kr_bench_kg_")
     try:
         t0 = time.time()
@@ -111,33 +154,63 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
-    ap.add_argument("--scaling", action="store_true", help="local[8] vs local[32] efficiency run")
+    ap.add_argument("--scaling", action="store_true", help="N vs 4N cores efficiency run")
+    ap.add_argument(
+        "--scale-pair",
+        default="8,32",
+        help="comma-separated core counts for the scaling run (N,4N)",
+    )
+    ap.add_argument(
+        "--n-convs",
+        type=int,
+        default=None,
+        help="fixed conversation count (scaling mode defaults to 40000; "
+        "normal mode sizes from the sf documents table)",
+    )
     args = ap.parse_args()
 
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     if args.scaling:
+        n_convs = args.n_convs or 400000
+        lo, hi = (int(x) for x in args.scale_pair.split(","))
+        # interleaved rounds (lo, hi, lo, hi), best wall per config: robust
+        # to the box's slow drift; fresh session per measurement with a
+        # real-idle quiesce gate + warm-up pass per session (JVM/codegen/
+        # Python-worker startup)
+        best: dict[int, tuple] = {}
+        for _round in range(2):
+            for cpus in (lo, hi):
+                _wait_quiesce()
+                spark = make_spark(cpus)
+                spark.sparkContext.setLogLevel("ERROR")
+                bench_kg_pipeline(
+                    spark, args.sf_dir, n_convs=max(2000, n_convs // 50)
+                )
+                dt, n_turns, n_triples = bench_kg_pipeline(
+                    spark, args.sf_dir, n_convs=n_convs
+                )
+                if cpus not in best or dt < best[cpus][0]:
+                    best[cpus] = (dt, n_turns, n_triples)
+                spark.stop()
         results = {}
-        for cpus in (8, 32):
-            spark = make_spark(cpus)
-            spark.sparkContext.setLogLevel("ERROR")
-            dt, n_turns, n_triples = bench_kg_pipeline(spark, args.sf_dir)
+        for cpus, (dt, n_turns, n_triples) in best.items():
             results[cpus] = {
                 "wall_s": round(dt, 3),
                 "turns_per_sec": round(n_turns / dt, 1),
                 "triples_per_sec": round(n_triples / dt, 1),
                 "n_triples": n_triples,
             }
-            spark.stop()
-        eff = (results[32]["triples_per_sec"] / results[8]["triples_per_sec"]) / 4.0
+        eff = (results[hi]["turns_per_sec"] / results[lo]["turns_per_sec"]) / (hi / lo)
         print(
             json.dumps(
                 {
                     "metric": "kg_pipeline_scaling",
                     "value": round(eff, 3),
                     "unit": "efficiency",
-                    "local8": results[8],
-                    "local32": results[32],
+                    "n_turns": n_convs * 8,
+                    f"local{lo}": results[lo],
+                    f"local{hi}": results[hi],
                     "sf": sf,
                 }
             )

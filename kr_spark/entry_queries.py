@@ -421,7 +421,9 @@ def q_canon_cc(spark, sf_dir):
         .filter(F.col("prev").isNotNull())
         .select(F.col("prev").alias("src"), F.col("c_custkey").alias("dst"))
     )
-    cc = connected_components(edges)
+    # driver_threshold=0 forces the distributed min-label loop so the oracle
+    # gate verifies the at-scale path, not the small-graph driver shortcut
+    cc = connected_components(edges, driver_threshold=0)
     return cc.select(F.col("node"), F.col("component"))
 
 
@@ -584,6 +586,51 @@ def q_ntriples_roundtrip(spark, sf_dir):
         F.col("s").alias("cust"),
         F.col("o").alias("cname"),
         F.col("o_lang").alias("lang"),
+    )
+
+
+def q_postprocess_rule(spark, sf_dir):
+    """K5 (rule.clj:168-181): post-processing rule — body bindings streamed
+    through an arbitrary vectorized transform (Arrow-batched mapInPandas)."""
+    import pandas as pd
+
+    from kr_spark.operators.rules import apply_post_processing_rule
+
+    kb = make_kb(spark, sf_dir)
+    rule = {
+        "name": "cents-rule",
+        "body": [
+            ("?/c", "rel/acctbal", "?/bal"),
+            ("?/c", "rdf/type", "ty/Customer"),
+        ],
+    }
+
+    def fn(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "cust": pdf["c"],
+                    "bal_cents": (pdf["bal"].astype(float) * 100)
+                    .round()
+                    .astype("int64"),
+                }
+            )
+
+    return apply_post_processing_rule(kb, rule, fn, "cust string, bal_cents long")
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Rows-only check (no SQL oracle): multimodal plumbing — binary media
+    column + typed metadata through the Arrow feature-extraction UDF (decode
+    itself is a deterministic stub; determinism asserted in
+    tests/test_multimodal.py). Media row count derives from the documents
+    table so the input universe comes from the sf dir."""
+    from kr_spark.operators.multimodal import extract_image_features, synthesize_media
+
+    n_docs = _read(spark, sf_dir, "documents").count()
+    media = synthesize_media(spark, n=min(n_docs, 300))
+    return extract_image_features(media).select(
+        "media_id", "width", "height", F.round(F.col("mean_luma"), 6).alias("mean_luma")
     )
 
 
@@ -1012,6 +1059,10 @@ ORACLES = {
     "q_ntriples_roundtrip": f"""
         SELECT {_CU} AS cust, c_name AS cname, 'en' AS lang FROM customer
     """,
+    "q_postprocess_rule": f"""
+        SELECT {_CU} AS cust, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+        FROM customer
+    """,
     "q_canon_cc": """
         SELECT c_custkey AS node,
                MIN(c_custkey) OVER (PARTITION BY c_nationkey) AS component
@@ -1163,6 +1214,8 @@ QUERIES = {
     "q_type_infer": q_type_infer,
     "q_most_specific_types": q_most_specific_types,
     "q_ntriples_roundtrip": q_ntriples_roundtrip,
+    "q_postprocess_rule": q_postprocess_rule,
+    "q_multimodal_features": q_multimodal_features,
     "q_quality_score": q_quality_score,
     "q_bpe_token_count": q_bpe_token_count,
     "q_embed_neardup": q_embed_neardup,

@@ -73,9 +73,19 @@ def _commit_manifest(out_dir: str, bucket: int, record: dict) -> None:
     os.replace(tmp, final)  # atomic commit
 
 
-def ingest_transcripts(spark: SparkSession, transcripts: DataFrame, out_dir: str) -> DataFrame:
-    """Snapshot the input to `out_dir/stage_ingest` parquet once and return
-    the parquet-backed frame.
+def ingest_transcripts(
+    spark: SparkSession, transcripts: DataFrame, out_dir: str, n_buckets: int = 8
+) -> DataFrame:
+    """Snapshot the input to `out_dir/stage_ingest` parquet once, partitioned
+    by the work bucket `pmod(xxhash64(conv_id), n_buckets)`, and return the
+    parquet-backed frame (with the `__bucket` partition column).
+
+    Bucket-partitioning the snapshot is what makes per-bucket resume scans
+    cheap: each bucket job's `__bucket = b` filter becomes parquet partition
+    PRUNING (reads 1/n_buckets of the data) instead of an 8x-amplified full
+    scan — the same layout an Iceberg transcripts table would get from a
+    bucket(conv_id) partition transform. n_buckets must match the extract
+    stage's (run_pipeline passes one value to both).
 
     Two reasons this is load-bearing:
       * resume-stable input — a kill+resume re-run must see bit-identical
@@ -91,7 +101,18 @@ def ingest_transcripts(spark: SparkSession, transcripts: DataFrame, out_dir: str
     """
     path = os.path.join(out_dir, "stage_ingest")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        transcripts.write.mode("overwrite").parquet(path)
+        (
+            transcripts.withColumn(
+                "__bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets))
+            )
+            # explicit task-local sort on the partition column: the planner
+            # then skips its own dynamic-partition sort, whose interpreted
+            # fallback path was ~8x slower under high task concurrency
+            .sortWithinPartitions("__bucket")
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(path)
+        )
     return spark.read.parquet(path)
 
 
@@ -113,19 +134,38 @@ def run_extract_stage(
     )
 
     done = completed_buckets(out_dir)
-    bucketed = transcripts.withColumn(
-        "__bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets))
-    )
+    if "__bucket" in transcripts.columns:
+        # pre-bucketed snapshot (ingest_transcripts): the per-bucket filter
+        # prunes parquet partitions instead of rescanning everything
+        bucketed = transcripts
+    else:
+        bucketed = transcripts.withColumn(
+            "__bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets))
+        )
+
+    n_workers = min(8, max(1, n_buckets))
+    # per-bucket task width: concurrent bucket jobs share the cluster, so
+    # give each roughly cores/n_workers tasks. Without this, k concurrent
+    # jobs x full-width scans queue k*cores tiny tasks, and every Arrow UDF
+    # task forks a fresh Python worker — the fork storm costs more than the
+    # extraction itself (observed 5x wall-time at local[32]).
+    width = max(1, spark.sparkContext.defaultParallelism // n_workers)
 
     def _run_bucket(b: int) -> None:
+        from pyspark.sql import Observation
+
         t0 = time.time()
-        part = bucketed.filter(F.col("__bucket") == b).drop("__bucket")
+        part = bucketed.filter(F.col("__bucket") == b).drop("__bucket").coalesce(width)
+        # manifest metrics ride along on the write job via CollectMetrics
+        # nodes — one action per bucket instead of write + two count jobs
+        obs_in, obs_out = Observation(), Observation()
+        part = part.observe(obs_in, F.count(F.lit(1)).alias("n"))
         extractor = extract_relations_arrow if use_arrow_extractor else extract_relations_expr
-        extracted = extractor(part)
+        extracted = extractor(part).observe(obs_out, F.count(F.lit(1)).alias("n"))
         path = os.path.join(out_dir, "stage_extract", f"bucket={b}")
         extracted.write.mode("overwrite").parquet(path)
-        rows_in = part.count()
-        triples_out = spark.read.parquet(path).count()
+        rows_in = obs_in.get["n"]
+        triples_out = obs_out.get["n"]
         _commit_manifest(
             out_dir,
             b,
@@ -159,7 +199,7 @@ def run_extract_stage(
     from concurrent.futures import ThreadPoolExecutor
 
     if todo:
-        with ThreadPoolExecutor(max_workers=min(8, len(todo))) as pool:
+        with ThreadPoolExecutor(max_workers=n_workers) as pool:
             list(pool.map(_run_bucket, todo))
     return len(todo)
 
@@ -231,9 +271,9 @@ def materialize_triples(
     path = os.path.join(out_dir, "triples")
     # repartition by the physical partition key so each task writes one
     # directory (avoids the N_tasks × N_partitions small-file explosion)
-    final.repartition(pred_buckets, "p_bucket").write.mode("overwrite").partitionBy(
-        "p_bucket"
-    ).parquet(path)
+    final.repartition(pred_buckets, "p_bucket").sortWithinPartitions(
+        "p_bucket", "p", "s"
+    ).write.mode("overwrite").partitionBy("p_bucket").parquet(path)
     return spark.read.parquet(path)
 
 
@@ -247,7 +287,7 @@ def run_pipeline(
 ) -> DataFrame:
     """End-to-end: input snapshot + resumable extract stage + global
     materialize."""
-    snapshot = ingest_transcripts(spark, transcripts, out_dir)
+    snapshot = ingest_transcripts(spark, transcripts, out_dir, n_buckets=n_buckets)
     run_extract_stage(
         spark,
         snapshot,

@@ -107,11 +107,24 @@ def generate_transcripts(spark, n_convs: int = 1000) -> DataFrame:
 def transcripts_from_ids(ids: DataFrame) -> DataFrame:
     """Transcripts from an arbitrary `id` column (global turn number) —
     lets callers derive the row universe from an existing table so the
-    DuckDB oracle sees the identical row set."""
+    DuckDB oracle sees the identical row set.
+
+    The surface strings are staged as intermediate columns (each referenced
+    several times downstream, so CollapseProject keeps them as their own
+    projection): inlining them into the text `when`-chain multiplies the
+    expression tree past janino's 64KB method limit — Spark then silently
+    drops to interpreted evaluation, which is not only slow but
+    allocation-bound enough that it ANTI-scales with executor threads."""
     idx = _row_indices(ids)
-    subj = person_surface(F.col("p1"), F.col("alias1"))
-    obj_p = person_surface(F.col("p2"), F.col("alias2"))
-    obj_o = org_surface(F.col("o1"))
+    staged = idx.select(
+        "conv",
+        "turn",
+        "ttype",
+        person_surface(F.col("p1"), F.col("alias1")).alias("__subj"),
+        person_surface(F.col("p2"), F.col("alias2")).alias("__objp"),
+        org_surface(F.col("o1")).alias("__objo"),
+    )
+    subj, obj_p, obj_o = F.col("__subj"), F.col("__objp"), F.col("__objo")
     text = (
         F.when(F.col("ttype") == 0, F.concat(subj, F.lit(" works at "), obj_o, F.lit(" .")))
         .when(F.col("ttype") == 1, F.concat(subj, F.lit(" knows "), obj_p, F.lit(" .")))
@@ -125,7 +138,7 @@ def transcripts_from_ids(ids: DataFrame) -> DataFrame:
     )
     tool = F.when(role == "tool", F.lit("search")).otherwise(F.lit(None).cast("string"))
     ts = F.timestamp_seconds(F.lit(1700000000) + F.col("conv") * 3600 + F.col("turn") * 60)
-    return idx.select(
+    return staged.select(
         F.concat(F.lit("c"), F.col("conv")).alias("conv_id"),
         F.col("turn").alias("turn_idx"),
         role.alias("role"),

@@ -16,7 +16,7 @@ def test_connected_components_basic(spark):
     edges = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("x", "y"), ("p", "p")], "src string, dst string"
     )
-    cc = {r.node: r.component for r in connected_components(edges).collect()}
+    cc = {r.node: r.component for r in connected_components(edges, driver_threshold=0).collect()}
     assert cc["a"] == cc["b"] == cc["c"] == "a"
     assert cc["x"] == cc["y"] == "x"
     assert cc["p"] == "p"
@@ -28,12 +28,15 @@ def test_connected_components_chain_and_salt(spark):
     edges = spark.createDataFrame(
         [(f"n{i:03d}", f"n{i+1:03d}") for i in range(n)], "src string, dst string"
     )
-    plain = {r.node: r.component for r in connected_components(edges).collect()}
+    plain = {r.node: r.component for r in connected_components(edges, driver_threshold=0).collect()}
     salted = {
         r.node: r.component
-        for r in connected_components(edges, salt=4).collect()
+        for r in connected_components(edges, salt=4, driver_threshold=0).collect()
     }
-    assert plain == salted
+    # adaptive path (driver union-find under the size threshold) must agree
+    # with the distributed min-label loop exactly
+    adaptive = {r.node: r.component for r in connected_components(edges).collect()}
+    assert plain == salted == adaptive
     assert set(plain.values()) == {"n000"}
 
 

@@ -1,0 +1,81 @@
+"""Structured-Streaming ingest parity: the streaming path must emit exactly
+the batch extractor's triples (SURVEY §2.12 stance — batch semantics reused
+per micro-batch via foreachBatch)."""
+
+import time
+
+from pyspark.sql import functions as F
+
+from kr_spark.pipeline.extract import extract_relations_expr
+from kr_spark.pipeline.transcripts import generate_transcripts
+from kr_spark.streaming.ingest import (
+    stream_extract_to_parquet,
+    windowed_turn_counts,
+)
+
+N_CONVS = 50
+
+
+def test_stream_extract_matches_batch(spark, tmp_path):
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    transcripts = generate_transcripts(spark, N_CONVS)
+    transcripts.write.parquet(in_dir)
+
+    q = stream_extract_to_parquet(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+    assert not q.isActive  # availableNow trigger drains and stops
+
+    streamed = spark.read.parquet(out_dir).select(
+        "subj_surface", "pred", "obj_surface", "conv_id", "turn_idx"
+    )
+    batch = extract_relations_expr(transcripts).select(
+        "subj_surface", "pred", "obj_surface", "conv_id", "turn_idx"
+    )
+    assert streamed.count() == batch.count()
+    assert streamed.exceptAll(batch).isEmpty()
+    assert batch.exceptAll(streamed).isEmpty()
+
+
+def test_stream_restart_is_incremental(spark, tmp_path):
+    # checkpointed restart must not re-emit already-processed files
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    generate_transcripts(spark, N_CONVS).write.parquet(in_dir)
+    q = stream_extract_to_parquet(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(out_dir).count()
+
+    q2 = stream_extract_to_parquet(spark, in_dir, out_dir, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == n1
+
+
+def test_windowed_turn_counts(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    generate_transcripts(spark, N_CONVS).write.parquet(in_dir)
+    from kr_spark.streaming.ingest import TRANSCRIPT_DDL
+
+    stream = spark.readStream.schema(TRANSCRIPT_DDL).parquet(in_dir)
+    counts = windowed_turn_counts(stream)
+    q = (
+        counts.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wtc")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT SUM(n_turns) AS n FROM wtc").collect()[0].n or 0
+    # append mode only emits windows older than the watermark; the final
+    # (newest) windows stay open, so emitted <= total and roles are valid
+    total = N_CONVS * 8
+    assert got <= total
+    roles = {r.role for r in spark.sql("SELECT DISTINCT role FROM wtc").collect()}
+    assert roles <= {"user", "assistant", "tool"}
