@@ -260,6 +260,20 @@ class KB:
             out[name] = Term(val["kind"], val["v"], val["lang"], val["dt"])
         return out
 
+    def get_literal(self, s, p, literal_mode=None):
+        """Literal object of the first (s p ?o) match, formatted per
+        *literal-mode* (clj_ify.clj:101-120; matrix test_rdf.clj:254-335).
+        literal_mode: None/'clj', 'clj-type', 'string', 'native', or a
+        callable(lex, type_or_lang) -> mode."""
+        from kr_spark.terms import clj_ify
+
+        rows = self.query_rdf(s=s, p=p).limit(1).collect()
+        if not rows:
+            return None
+        r = rows[0]
+        t = Term(r["o_kind"], r["o"], r["o_lang"] or "", r["o_datatype"] or "")
+        return clj_ify(t, mode=literal_mode, ns=self.ns)
+
     def ask(self, pattern) -> bool:
         """ASK (sparql.clj:415-424): pattern existence."""
         return self.plan(pattern).df.limit(1).count() > 0

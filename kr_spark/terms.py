@@ -233,3 +233,69 @@ def _string_to_term(
         return t
     lang = default_language if use_default_language else ""
     return Term(KIND_LITERAL, s, lang=lang)
+
+
+# ---- result boxing / literal modes (clj_ify.clj:72,101-120; behavior
+# matrix test_rdf.clj:254-335) ----
+
+_INT_DTS = frozenset(
+    XSD + t
+    for t in (
+        "integer", "int", "long", "short", "byte",
+        "nonNegativeInteger", "nonPositiveInteger", "negativeInteger",
+        "positiveInteger", "unsignedLong", "unsignedInt", "unsignedShort",
+        "unsignedByte",
+    )
+)
+_FLOAT_DTS = frozenset(XSD + t for t in ("float", "double"))
+
+
+def native_value(term: "Term"):
+    """Lexical form -> native Python value for known XSD datatypes
+    (sesame/rdf.clj:151-168 role). Unknown datatypes stay strings."""
+    if term.kind != KIND_LITERAL:
+        return term.v
+    if term.dt in _INT_DTS:
+        return int(term.v)
+    if term.dt in _FLOAT_DTS:
+        return float(term.v)
+    if term.dt == XSD + "decimal":
+        return Decimal(term.v)
+    if term.dt == XSD + "boolean":
+        return term.v == "true"
+    return term.v
+
+
+def clj_ify(term: "Term", mode=None, ns: NamespaceRegistry | None = None):
+    """Format a bound term per the reference's *literal-mode*
+    (clj_ify.clj:101-120; matrix test_rdf.clj:254-335):
+
+      None / 'clj'  -> plain native value ("foo", 4, "Bob")
+      'clj-type'    -> [native value, type-curie-or-lang-or-None]
+      'string'      -> [lexical string, type-curie-or-lang-or-None]
+      'native'      -> the Term itself (backend-native objects)
+      callable      -> fn(lex, type_or_lang) returning one of the modes
+                       above, applied per literal (forward_rule.clj-style
+                       dynamic dispatch)
+
+    Non-literals (URIs, bnodes) are returned as the Term unchanged —
+    the engine's analog of kr returning symbols.
+    """
+    if term.kind != KIND_LITERAL:
+        return term
+    type_or_lang = None
+    if term.dt:
+        type_or_lang = (ns.compress(term.dt) if ns else None) or term.dt
+    elif term.lang:
+        type_or_lang = term.lang
+    if callable(mode):
+        mode = mode(term.v, type_or_lang)
+    if mode in (None, "clj"):
+        return native_value(term)
+    if mode == "clj-type":
+        return [native_value(term), type_or_lang]
+    if mode == "string":
+        return [term.v, type_or_lang]
+    if mode == "native":
+        return term
+    raise ValueError(f"unknown literal mode {mode!r}")

@@ -86,3 +86,42 @@ def test_ntriples_roundtrip(kb):
     assert kb2.size() == kb.size()
     assert kb2.ask_rdf("ex/a", "foaf/age", 40)
     assert kb2.ask_rdf("ex/a", "foaf/name", "Johnny Lee Outlaw")
+
+
+def test_literal_mode_matrix(kb):
+    # *literal-mode* behavior matrix, test_rdf.clj:254-335
+    kb.add_statements(
+        [
+            ("ex/a", "ex/b", ["foo", "ex/custom"]),
+            ("ex/c", "ex/d", [4, "xsd/integer"]),
+            ("ex/g", "ex/h", ["Bob", "en"]),
+            ("ex/i", "ex/j", ["Bob"]),
+            ("ex/k", "ex/l", 4),
+        ]
+    )
+    # nil / :clj -> plain native values
+    for mode in (None, "clj"):
+        assert kb.get_literal("ex/a", "ex/b", mode) == "foo"
+        assert kb.get_literal("ex/c", "ex/d", mode) == 4
+        assert kb.get_literal("ex/g", "ex/h", mode) == "Bob"
+        assert kb.get_literal("ex/i", "ex/j", mode) == "Bob"
+        assert kb.get_literal("ex/k", "ex/l", mode) == 4
+    # :clj-type -> [value, type-or-lang]
+    assert kb.get_literal("ex/a", "ex/b", "clj-type") == ["foo", "ex/custom"]
+    assert kb.get_literal("ex/c", "ex/d", "clj-type") == [4, "xsd/integer"]
+    assert kb.get_literal("ex/g", "ex/h", "clj-type") == ["Bob", "en"]
+    assert kb.get_literal("ex/i", "ex/j", "clj-type") == ["Bob", None]
+    assert kb.get_literal("ex/k", "ex/l", "clj-type") == [4, "xsd/integer"]
+    # :string -> [lexical, type-or-lang]
+    assert kb.get_literal("ex/c", "ex/d", "string") == ["4", "xsd/integer"]
+    assert kb.get_literal("ex/k", "ex/l", "string") == ["4", "xsd/integer"]
+    assert kb.get_literal("ex/g", "ex/h", "string") == ["Bob", "en"]
+    # fn mode: custom datatypes boxed, everything else plain
+    fn = lambda lex, tl: "clj-type" if tl == "ex/custom" else None
+    assert kb.get_literal("ex/a", "ex/b", fn) == ["foo", "ex/custom"]
+    assert kb.get_literal("ex/c", "ex/d", fn) == 4
+    assert kb.get_literal("ex/g", "ex/h", fn) == "Bob"
+    # fn mode: string type_or_lang (= lang tag) boxed
+    fn2 = lambda lex, tl: "clj-type" if tl == "en" else None
+    assert kb.get_literal("ex/g", "ex/h", fn2) == ["Bob", "en"]
+    assert kb.get_literal("ex/c", "ex/d", fn2) == 4
