@@ -260,6 +260,33 @@ class KB:
             out[name] = Term(val["kind"], val["v"], val["lang"], val["dt"])
         return out
 
+    def pmap_query(self, patterns: list, max_workers: int = 8) -> list[list[dict]]:
+        """Concurrent pattern queries (pmap-query, sparql.clj:613-629).
+
+        The reference's entire scaling story is a thread pool with one store
+        connection per thread; here each thread submits an independent Spark
+        job and the cluster scheduler interleaves their stages — the
+        driver-side fan-out is the same shape, the per-query execution is
+        distributed. Results keep input order."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            return list(pool.map(self.query, patterns))
+
+    def pmap_count(self, patterns: list, max_workers: int = 8) -> list[int]:
+        """Concurrent COUNTs (pmap-count, sparql.clj:631-636)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            return list(pool.map(self.count, patterns))
+
+    def pmap_some(self, patterns: list, max_workers: int = 8) -> bool:
+        """True iff ANY pattern has a match (pmap-some, sparql.clj:638-640)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            return any(pool.map(self.ask, patterns))
+
     def get_literal(self, s, p, literal_mode=None):
         """Literal object of the first (s p ?o) match, formatted per
         *literal-mode* (clj_ify.clj:101-120; matrix test_rdf.clj:254-335).

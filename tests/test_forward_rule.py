@@ -281,3 +281,38 @@ def test_reify_statements_df(kb, spark):
     # determinism: same statement -> same node on re-run
     again = {r.s for r in reify_statements_df(stmts, ns="http://e.org/", prefix="STMT_").collect()}
     assert again == {node}
+
+
+def test_rule_index_roundtrip_and_lookup(kb):
+    # K8 (rule_index.clj): rules stored as reified triples, derive-lookup
+    from kr_spark.operators.rule_index import (
+        RULE_NS,
+        add_to_rule_index,
+        rules_deriving,
+    )
+
+    dept_rule = {
+        "name": "dept-rule",
+        "head": [("?/c", "ex/inDept", "?/d")],
+        "body": [("?/c", "ex/hasBoss", "?/b")],
+    }
+    typed_rule = {
+        "name": "person-rule",
+        "head": [("?/x", "rdf/type", "ex/Person")],
+        "body": [("?/x", "foaf/name", "?/n")],
+    }
+    add_to_rule_index(kb, [dept_rule, typed_rule])
+
+    # the index is ordinary queryable triples
+    assert kb.ask([("<" + RULE_NS + "dept-rule>", "rdf/type", "<" + RULE_NS + "Rule>")])
+
+    # predicate axis: exact head predicate match
+    assert rules_deriving(kb, p="ex/inDept") == {"dept-rule"}
+    assert rules_deriving(kb, p="rdf/type") == {"person-rule"}
+    assert rules_deriving(kb, p="ex/unrelated") == set()
+    # object axis: constant head object matches; var head object matches too
+    assert rules_deriving(kb, o="ex/Person") == {"person-rule", "dept-rule"}
+    # subject axis: both heads have variable subjects -> both match any subject
+    assert rules_deriving(kb, s="ex/someone") == {"dept-rule", "person-rule"}
+    # conjunction across axes
+    assert rules_deriving(kb, s="ex/someone", p="ex/inDept") == {"dept-rule"}

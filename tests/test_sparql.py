@@ -284,3 +284,20 @@ def test_query_template(kb):
     )
     assert len(out) == 2
     assert all(o[1] == "has-mbox" for o in out)
+
+
+def test_pmap_query_count_some(kb):
+    # §2.11 pmap fan-out parity (sparql.clj:613-640)
+    from tests.conftest import TEST_TRIPLES_6_1, load_fixture
+
+    load_fixture(kb, TEST_TRIPLES_6_1)
+    patterns = [
+        [("?/p", "rdf/type", "foaf/Person")],
+        [("?/p", "foaf/name", "?/n")],
+        [("?/p", "foaf/mbox", "?/m")],
+    ]
+    results = kb.pmap_query(patterns)
+    assert [len(r) for r in results] == [2, 2, 2]
+    assert kb.pmap_count(patterns) == [2, 2, 2]
+    assert kb.pmap_some(patterns + [[("?/x", "ex/nope", "?/y")]])
+    assert not kb.pmap_some([[("?/x", "ex/nope", "?/y")]])
