@@ -260,6 +260,28 @@ class KB:
             out[name] = Term(val["kind"], val["v"], val["lang"], val["dt"])
         return out
 
+    # ---- raw SPARQL string entry points (Q9, sparql.clj:560-603) ----
+
+    def sparql_query(self, text: str) -> list[dict]:
+        from kr_spark.plans.sparql_parser import sparql_query
+
+        return sparql_query(self, text)
+
+    def sparql_ask(self, text: str) -> bool:
+        from kr_spark.plans.sparql_parser import sparql_ask
+
+        return sparql_ask(self, text)
+
+    def sparql_count(self, text: str) -> int:
+        from kr_spark.plans.sparql_parser import sparql_count
+
+        return sparql_count(self, text)
+
+    def sparql_construct(self, text: str) -> DataFrame:
+        from kr_spark.plans.sparql_parser import sparql_construct
+
+        return sparql_construct(self, text)
+
     def pmap_query(self, patterns: list, max_workers: int = 8) -> list[list[dict]]:
         """Concurrent pattern queries (pmap-query, sparql.clj:613-629).
 

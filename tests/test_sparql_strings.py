@@ -1,0 +1,149 @@
+"""Raw SPARQL string entry points (Q9, sparql.clj:51-57,560-603) — the
+parser covers the subset kr's own compiler emits, so kr-generated queries
+round-trip through the engine."""
+
+import pytest
+
+from tests.conftest import (
+    TEST_TRIPLES_6_1,
+    TEST_TRIPLES_LANG,
+    TEST_TRIPLES_NUMBERS,
+    load_fixture,
+)
+
+PREFIXES = """
+PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+PREFIX ex: <http://www.example.org/>
+"""
+
+
+def test_sparql_select(kb):
+    load_fixture(kb, TEST_TRIPLES_6_1)
+    rows = kb.sparql_query(
+        PREFIXES
+        + """
+        SELECT ?p ?name WHERE {
+          ?p rdf:type foaf:Person .
+          ?p foaf:name ?name .
+        }
+        """
+    )
+    assert {b["name"].v for b in rows} == {"Alice", "Bob"}
+    assert all(b["p"].kind == "uri" for b in rows)
+
+
+def test_sparql_select_star_and_a_shorthand(kb):
+    load_fixture(kb, TEST_TRIPLES_6_1)
+    rows = kb.sparql_query(PREFIXES + "SELECT * WHERE { ?p a foaf:Person . }")
+    assert len(rows) == 2
+
+
+def test_sparql_ask(kb):
+    load_fixture(kb, TEST_TRIPLES_6_1)
+    assert kb.sparql_ask(PREFIXES + "ASK { ?p foaf:name \"Alice\"@en . }")
+    assert not kb.sparql_ask(PREFIXES + "ASK { ?p foaf:name \"Nobody\"@en . }")
+
+
+def test_sparql_count_1_1_form(kb):
+    load_fixture(kb, TEST_TRIPLES_6_1)
+    n = kb.sparql_count(
+        PREFIXES + "SELECT (COUNT(*) AS ?c) WHERE { ?p rdf:type foaf:Person . }"
+    )
+    assert n == 2
+
+
+def test_sparql_optional_and_union(kb):
+    load_fixture(kb, TEST_TRIPLES_6_1)
+    rows = kb.sparql_query(
+        PREFIXES
+        + """
+        SELECT ?p ?name ?mbox WHERE {
+          ?p foaf:name ?name .
+          OPTIONAL { ?p foaf:mbox ?mbox . }
+        }
+        """
+    )
+    # Alice has 2 mboxes, Bob none -> 3 rows, Bob's mbox unbound
+    assert len(rows) == 3
+    bobs = [b for b in rows if b["name"].v == "Bob"]
+    assert len(bobs) == 1 and "mbox" not in bobs[0]
+
+    rows = kb.sparql_query(
+        PREFIXES
+        + """
+        SELECT ?x WHERE {
+          { ?x rdf:type foaf:Person . } UNION { ?x foaf:mbox ?m . }
+        }
+        """
+    )
+    assert len(rows) == 4  # 2 typed + 2 mbox rows (bag semantics)
+
+
+def test_sparql_filter_numeric_and_regex(kb):
+    load_fixture(kb, TEST_TRIPLES_NUMBERS)
+    rows = kb.sparql_query(
+        PREFIXES
+        + """
+        SELECT ?p ?age WHERE {
+          ?p foaf:age ?age .
+          FILTER (?age > 40)
+        }
+        """
+    )
+    assert len(rows) == 1 and rows[0]["age"].v == "50"
+
+    load_fixture(kb, TEST_TRIPLES_6_1)
+    rows = kb.sparql_query(
+        PREFIXES
+        + """
+        SELECT ?name WHERE {
+          ?p foaf:name ?name .
+          FILTER (regex(?name, "^ali", "i"))
+        }
+        """
+    )
+    assert {b["name"].v for b in rows} == {"Alice"}
+
+
+def test_sparql_filter_bound_lang(kb):
+    load_fixture(kb, TEST_TRIPLES_LANG)
+    rows = kb.sparql_query(
+        PREFIXES
+        + """
+        SELECT ?x ?n WHERE {
+          ?x foaf:firstname ?n .
+          FILTER (lang(?n) = "en")
+        }
+        """
+    )
+    assert len(rows) == 2  # Alice (auto-en) + boxed ["Bob","en"]
+
+
+def test_sparql_distinct_limit(kb):
+    load_fixture(kb, TEST_TRIPLES_6_1)
+    rows = kb.sparql_query(
+        PREFIXES + "SELECT DISTINCT ?t WHERE { ?p rdf:type ?t . } LIMIT 1"
+    )
+    assert len(rows) == 1
+
+
+def test_sparql_construct(kb):
+    load_fixture(kb, TEST_TRIPLES_6_1)
+    out = kb.sparql_construct(
+        PREFIXES
+        + """
+        CONSTRUCT { ?p ex:renamed ?name . }
+        WHERE { ?p foaf:name ?name . }
+        """
+    )
+    rows = out.collect()
+    assert len(rows) == 2
+    assert all(r["p"] == "http://www.example.org/renamed" for r in rows)
+
+
+def test_sparql_unsupported_forms_raise(kb):
+    with pytest.raises(ValueError):
+        kb.sparql_query("DESCRIBE <http://x>")
+    with pytest.raises(ValueError):
+        kb.sparql_ask("PREFIX ex: <http://e/> SELECT * WHERE { ?a ex:b ?c . }")
