@@ -260,6 +260,28 @@ class KB:
             out[name] = Term(val["kind"], val["v"], val["lang"], val["dt"])
         return out
 
+    # ---- persistence (S1 open/close lifecycle against the store seam) ----
+
+    def save(self, path: str, pred_buckets: int = 16) -> None:
+        """Persist the KB to a pred-bucketed triple store (sources/store.py;
+        Iceberg layout, parquet fallback). Set semantics preserved via the
+        store's idempotent append."""
+        from kr_spark.sources.store import open_store
+
+        store = open_store(self.spark, path, pred_buckets)
+        if store.exists():
+            store.append_idempotent(self.df())
+        else:
+            store.overwrite(self.df())
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str, pred_buckets: int = 16) -> "KB":
+        """Open a persisted KB (kb constructor S1 role for a durable store)."""
+        from kr_spark.sources.store import open_store
+
+        store = open_store(spark, path, pred_buckets)
+        return cls(spark, df=store.read())
+
     # ---- raw SPARQL string entry points (Q9, sparql.clj:560-603) ----
 
     def sparql_query(self, text: str) -> list[dict]:

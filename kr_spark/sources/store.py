@@ -22,7 +22,9 @@ from kr_spark.kb import TRIPLE_KEY, TRIPLE_SCHEMA
 
 def iceberg_available(spark: SparkSession) -> bool:
     try:
-        spark._jvm.org.apache.iceberg.Table  # noqa: SLF001
+        # py4j package traversal never raises (it returns JavaPackage
+        # stubs), so force an actual classload
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.Table")  # noqa: SLF001
         return True
     except Exception:
         return False

@@ -316,3 +316,58 @@ def test_rule_index_roundtrip_and_lookup(kb):
     assert rules_deriving(kb, s="ex/someone") == {"dept-rule", "person-rule"}
     # conjunction across axes
     assert rules_deriving(kb, s="ex/someone", p="ex/inDept") == {"dept-rule"}
+
+
+def test_regex_reify(kb):
+    # R5 (reify.clj:85-87): regex-replace over concatenated arg values
+    from kr_spark.operators.rules import run_forward_rule
+    from tests.conftest import TEST_TRIPLES_6_3, load_fixture
+
+    load_fixture(kb, TEST_TRIPLES_6_3)
+    rule = {
+        "name": "regex-rule",
+        "head": [("?/site", "rdf/type", "ex/Site")],
+        "body": [("?/p", "foaf/name", "?/n")],
+        "reify": [
+            # strip example.org URI prefix out of the subject URI
+            {
+                "var": "?/site",
+                "ln": ("regex", r"http://www\.example\.org/", "", "?/p"),
+                "ns": "ex",
+                "prefix": "SITE_",
+            }
+        ],
+    }
+    run_forward_rule(kb, rule, kb)
+    res = kb.query([("?/site", "rdf/type", "ex/Site")])
+    assert {b["site"].v for b in res} == {
+        "http://www.example.org/SITE_a",
+        "http://www.example.org/SITE_b",
+    }
+
+
+def test_fn_reify_pandas(kb):
+    # R6 (forward_rule.clj:173-179): arbitrary fn of bindings, vectorized
+    from kr_spark.operators.rules import run_forward_rule
+    from tests.conftest import TEST_TRIPLES_6_3, load_fixture
+
+    load_fixture(kb, TEST_TRIPLES_6_3)
+
+    def mint(pdf):
+        # name -> uppercased last URI segment of the person
+        return pdf["p"].str.rsplit("/", n=1).str[-1].str.upper()
+
+    rule = {
+        "name": "fn-rule",
+        "head": [("?/node", "rdf/type", "ex/FnNode")],
+        "body": [("?/p", "foaf/name", "?/n")],
+        "reify": [
+            {"var": "?/node", "ln": mint, "ns": "ex", "prefix": "FN_", "args": ["p"]}
+        ],
+    }
+    run_forward_rule(kb, rule, kb)
+    res = kb.query([("?/node", "rdf/type", "ex/FnNode")])
+    assert {b["node"].v for b in res} == {
+        "http://www.example.org/FN_A",
+        "http://www.example.org/FN_B",
+    }
