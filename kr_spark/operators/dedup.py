@@ -191,25 +191,29 @@ def ngram_jaccard_pairs(
         word_shingles(F.col(text_col), shingle_k).alias("shingles"),
     )
     sizes = sh.select(F.col(id_col), F.size("shingles").alias("n_sh"))
-    if candidates is not None:
-        pairs = candidates
-    else:
-        ex = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
-        pairs = (
-            ex.withColumnRenamed(id_col, "id_a")
-            .join(ex.withColumnRenamed(id_col, "id_b"), on="shingle")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .distinct()
-        )
     ex = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    ex_a = ex.select(F.col(id_col).alias("id_a"), "shingle")
+    ex_b = ex.select(F.col(id_col).alias("id_b"), "shingle")
+    if candidates is not None:
+        # the scale path: restrict each side to candidate members BEFORE the
+        # shingle join, so the join input is bounded by the LSH output
+        ex_a = ex_a.join(
+            F.broadcast(candidates.select("id_a").distinct()), on="id_a", how="leftsemi"
+        )
+        ex_b = ex_b.join(
+            F.broadcast(candidates.select("id_b").distinct()), on="id_b", how="leftsemi"
+        )
+    # one equi-join on the shingle + one groupBy: n_common per co-shingle
+    # pair (the previous shape joined pairs x all-shingles(a) x
+    # all-shingles(b) — |sh_a|*|sh_b| rows per pair before the filter)
     common = (
-        pairs.join(ex.select(F.col(id_col).alias("id_a"), "shingle"), on="id_a")
-        .join(ex.select(F.col(id_col).alias("id_b"), F.col("shingle").alias("__s2")), on="id_b")
-        .filter(F.col("shingle") == F.col("__s2"))
+        ex_a.join(ex_b, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_common"))
     )
+    if candidates is not None:
+        common = common.join(candidates.select("id_a", "id_b"), on=["id_a", "id_b"], how="leftsemi")
     out = (
         common.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")), on="id_a")
         .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")), on="id_b")
