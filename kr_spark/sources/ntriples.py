@@ -47,7 +47,14 @@ def parse_ntriples_df(spark, lines_df: DataFrame, text_col: str = "value") -> Da
     o_is_bnode = F.col("o_raw").startswith("_:")
     o_kind = F.when(o_is_uri, "uri").when(o_is_bnode, "bnode").otherwise("literal")
     lex = F.regexp_extract("o_raw", r'^"((?:[^"\\]|\\.)*)"', 1)
-    lex = F.regexp_replace(F.regexp_replace(lex, r'\\"', '"'), r"\\\\", "\\\\")
+    # unescape with a sentinel so '\\' and '\"' can't interact: stash
+    # escaped backslashes, unescape the rest, restore
+    lex = F.replace(lex, F.lit("\\\\"), F.lit("\x00"))
+    lex = F.replace(lex, F.lit('\\"'), F.lit('"'))
+    lex = F.replace(lex, F.lit("\\n"), F.lit("\n"))
+    lex = F.replace(lex, F.lit("\\r"), F.lit("\r"))
+    lex = F.replace(lex, F.lit("\\t"), F.lit("\t"))
+    lex = F.replace(lex, F.lit("\x00"), F.lit("\\"))
     o_val = (
         F.when(o_is_uri, F.regexp_extract("o_raw", r"^<(.*)>$", 1))
         .when(o_is_bnode, F.expr("substring(o_raw, 3)"))
@@ -93,7 +100,15 @@ def export_ntriples(df: DataFrame) -> DataFrame:
     s = F.when(F.col("s_kind") == "bnode", F.concat(F.lit("_:"), F.col("s"))).otherwise(
         F.concat(F.lit("<"), F.col("s"), F.lit(">"))
     )
-    lex = F.regexp_replace(F.regexp_replace(F.col("o"), r"\\", r"\\\\"), '"', r"\"")
+    # literal (non-regex) escaping: backslash first, then quote/controls —
+    # regexp_replace replacement strings re-interpret backslashes (a '\"'
+    # replacement emits a bare quote), which silently produced malformed
+    # lines for literals containing quotes
+    lex = F.replace(F.col("o"), F.lit("\\"), F.lit("\\\\"))
+    lex = F.replace(lex, F.lit('"'), F.lit('\\"'))
+    lex = F.replace(lex, F.lit("\n"), F.lit("\\n"))
+    lex = F.replace(lex, F.lit("\r"), F.lit("\\r"))
+    lex = F.replace(lex, F.lit("\t"), F.lit("\\t"))
     o = (
         F.when(F.col("o_kind") == "uri", F.concat(F.lit("<"), F.col("o"), F.lit(">")))
         .when(F.col("o_kind") == "bnode", F.concat(F.lit("_:"), F.col("o")))

@@ -125,3 +125,24 @@ def test_literal_mode_matrix(kb):
     fn2 = lambda lex, tl: "clj-type" if tl == "en" else None
     assert kb.get_literal("ex/g", "ex/h", fn2) == ["Bob", "en"]
     assert kb.get_literal("ex/c", "ex/d", fn2) == 4
+
+
+def test_ntriples_escaping_roundtrip(kb, spark):
+    # quotes, backslashes, newlines and tabs must survive export -> parse
+    from kr_spark.kb import KB
+    from kr_spark.sources.ntriples import export_ntriples, parse_ntriples_df
+
+    hostile = [
+        'quote " inside',
+        "back \\ slash",
+        'both \\" mixed',
+        "line\nbreak",
+        "tab\there",
+    ]
+    kb.add_statements([(f"ex/s{i}", "ex/p", [v]) for i, v in enumerate(hostile)])
+    lines = export_ntriples(kb.df())
+    # every line must still be a single parseable statement
+    assert lines.count() == len(hostile)
+    back = parse_ntriples_df(spark, lines)
+    got = {r.o for r in back.collect()}
+    assert got == set(hostile)
