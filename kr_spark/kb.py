@@ -304,6 +304,37 @@ class KB:
 
         return sparql_construct(self, text)
 
+    def sparql_visit(self, text: str):
+        """Push-visitor over a SELECT string (sparql-visit, sparql.clj:584-589)."""
+        from kr_spark.plans.sparql_parser import parse_sparql
+
+        q = parse_sparql(self, text)
+        if q["type"] != "select":
+            raise ValueError(f"not a SELECT query: {q['type']}")
+        df = self.query_df(q["pattern"], q["select_vars"], q["distinct"], q["limit"])
+        for row in df.toLocalIterator():
+            yield self._row_to_binding(row)
+
+    def sparql_query_template(self, template, text: str) -> list:
+        """Project string-query bindings through a result template
+        (sparql-query-template, sparql.clj:571-577)."""
+        from kr_spark.plans.compiler import _subst
+        from kr_spark.plans.sparql_parser import parse_sparql
+
+        q = parse_sparql(self, text)
+        if q["type"] != "select":
+            raise ValueError(f"not a SELECT query: {q['type']}")
+        return [
+            _subst(self, template, b)
+            for b in self.query(q["pattern"], q["select_vars"], q["distinct"], q["limit"])
+        ]
+
+    def sparql_construct_visit(self, text: str):
+        """Visitor per constructed triple (sparql-construct-visit,
+        sparql.clj:598-603)."""
+        for row in self.sparql_construct(text).toLocalIterator():
+            yield (row["s"], row["p"], row["o"])
+
     def pmap_query(self, patterns: list, max_workers: int = 8) -> list[list[dict]]:
         """Concurrent pattern queries (pmap-query, sparql.clj:613-629).
 

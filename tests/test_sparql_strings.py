@@ -147,3 +147,25 @@ def test_sparql_unsupported_forms_raise(kb):
         kb.sparql_query("DESCRIBE <http://x>")
     with pytest.raises(ValueError):
         kb.sparql_ask("PREFIX ex: <http://e/> SELECT * WHERE { ?a ex:b ?c . }")
+
+
+def test_sparql_visit_template_construct_visit(kb):
+    load_fixture(kb, TEST_TRIPLES_6_1)
+    q = PREFIXES + "SELECT ?p ?name WHERE { ?p foaf:name ?name . }"
+
+    seen = [b["name"].v for b in kb.sparql_visit(q)]
+    assert sorted(seen) == ["Alice", "Bob"]
+
+    rows = kb.sparql_query_template(("?/p", "ex/called", "?/name"), q)
+    assert len(rows) == 2
+    assert all(r[1] == "ex/called" for r in rows)
+    assert {r[2].v for r in rows} == {"Alice", "Bob"}
+
+    triples = list(
+        kb.sparql_construct_visit(
+            PREFIXES
+            + "CONSTRUCT { ?p ex:renamed ?name . } WHERE { ?p foaf:name ?name . }"
+        )
+    )
+    assert len(triples) == 2
+    assert all(p == "http://www.example.org/renamed" for _, p, _ in triples)
