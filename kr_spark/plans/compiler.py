@@ -274,10 +274,12 @@ def _join(a: CompiledPattern, b: CompiledPattern, how: str) -> CompiledPattern:
     b_only = [v for v in b.all_vars if v not in set(a.all_vars)]
     if not shared:
         if how == "left":
-            joined = a.df.crossJoin(b.df)
+            # SPARQL LeftJoin-on-true semantics (sparql.clj:241-244): a
+            # var-disjoint OPTIONAL must KEEP every left row even when the
+            # optional side is empty — crossJoin would drop them all.
+            df = a.df.join(b.df, F.lit(True), "left")
         else:
-            joined = a.df.crossJoin(b.df)
-        df = joined
+            df = a.df.crossJoin(b.df)
     else:
         renames = {v: _fresh("r") for v in shared}
         bdf = b.df

@@ -24,10 +24,62 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kr_spark.plans.fixpoint import transitive_closure
+from kr_spark.plans.fixpoint import reachable_pairs, transitive_closure
 from kr_spark.terms import KIND_BNODE, KIND_VAR
 
 _STRUCT = "struct<kind:string,v:string,lang:string,dt:string>"
+
+
+def _has_closure(spec) -> bool:
+    """Does this path spec contain an unbounded/repeated element (one whose
+    unseeded compilation materializes a closure or identity domain)?"""
+    if isinstance(spec, str) or not isinstance(spec, (list, tuple)):
+        return False
+    if isinstance(spec, list):
+        return True  # every modifier vector repeats or adds zero-length
+    head = spec[0]
+    items = spec[1:] if head in (":or", ":inverse") else spec
+    return any(_has_closure(s) for s in items)
+
+
+def _invert_spec(spec):
+    """Spec whose pair relation is the swap of `spec`'s (sparql.clj:167-168
+    semantics, applied structurally so seeds can ride the inverted form)."""
+    if isinstance(spec, str) or not isinstance(spec, (list, tuple)):
+        return (":inverse", spec)
+    if isinstance(spec, list):
+        return [_invert_spec(spec[0])] + list(spec[1:])
+    head = spec[0]
+    if head == ":inverse":
+        return spec[1]
+    if head == ":or":
+        return (":or",) + tuple(_invert_spec(s) for s in spec[1:])
+    return tuple(_invert_spec(s) for s in reversed(spec))
+
+
+def _seed_filter(pairs: DataFrame, seed: DataFrame | None) -> DataFrame:
+    """Restrict pairs to src ∈ seed (seed col: node). Seeds are tiny (a bound
+    endpoint or a frontier's dst set) — AQE broadcasts the semi-join side."""
+    if seed is None:
+        return pairs
+    return pairs.join(
+        seed.select(F.col("node").alias("src")).dropDuplicates(["src"]),
+        on="src",
+        how="left_semi",
+    )
+
+
+def _identity_over_seed(kb, seed: DataFrame, graph_scope) -> DataFrame:
+    """Zero-length pairs for seed nodes that occur in the graph (matches the
+    unseeded identity-over-graph-terms domain, so `a p* ?x` keeps its
+    self-binding exactly when the unseeded plan would)."""
+    nodes = _graph_nodes(kb, graph_scope)
+    present = seed.select("node").join(nodes, on="node", how="left_semi")
+    return present.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+
+
+def _dst_seed(pairs: DataFrame) -> DataFrame:
+    return pairs.select(F.col("dst").alias("node")).dropDuplicates(["node"]).localCheckpoint()
 
 
 def _scoped(kb, graph_scope):
@@ -91,14 +143,57 @@ def _seq_join(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
-def compile_path_element(kb, spec, graph_scope) -> DataFrame:
+def compile_path_element(kb, spec, graph_scope, seed: DataFrame | None = None) -> DataFrame:
+    """Pairs relation for a path spec. With `seed` (one-col `node` DataFrame)
+    the result is restricted to src ∈ seed AND — crucially — the `+`/`*`
+    fixpoints evaluate as frontier reachability FROM the seed instead of the
+    full O(|closure|) transitive closure (VERDICT r1 #4; matches ARQ's
+    bound-endpoint path evaluation on the reference side)."""
     if isinstance(spec, str) or not isinstance(spec, (list, tuple)):
-        return _base_pairs(kb, spec, graph_scope)
+        return _seed_filter(_base_pairs(kb, spec, graph_scope), seed)
 
     if isinstance(spec, list):
         # modifier vector (sparql.clj:144-165)
-        inner = compile_path_element(kb, spec[0], graph_scope)
         mods = spec[1:]
+        if seed is not None:
+            # step relation is compiled unseeded (it must cover mid-path
+            # hops), but the iteration walks only the seed's frontier
+            step = compile_path_element(kb, spec[0], graph_scope)
+            if len(mods) == 1 and mods[0] == "*":
+                return reachable_pairs(step, seed).union(
+                    _identity_over_seed(kb, seed, graph_scope)
+                ).dropDuplicates(["src", "dst"])
+            if len(mods) == 1 and mods[0] == "+":
+                return reachable_pairs(step, seed)
+            if len(mods) == 1 and mods[0] == "?":
+                return _seed_filter(step, seed).union(
+                    _identity_over_seed(kb, seed, graph_scope)
+                ).dropDuplicates(["src", "dst"])
+            if len(mods) == 1:
+                return _repeat_exact(kb, step, int(mods[0]), graph_scope, seed)
+            n, m = mods[0], mods[1]
+            if n is None and m is None:
+                return reachable_pairs(step, seed).union(
+                    _identity_over_seed(kb, seed, graph_scope)
+                ).dropDuplicates(["src", "dst"])
+            if m is None:  # p{n,} = p{n} / p*
+                left = _repeat_exact(kb, step, int(n), graph_scope, seed)
+                mid = _dst_seed(left)
+                star = reachable_pairs(step, mid).union(
+                    _identity_over_seed(kb, mid, graph_scope)
+                ).dropDuplicates(["src", "dst"])
+                return _seq_join(left, star).dropDuplicates(["src", "dst"])
+            n = 0 if n is None else int(n)
+            outs = [
+                _repeat_exact(kb, step, k, graph_scope, seed)
+                for k in range(n, int(m) + 1)
+            ]
+            df = outs[0]
+            for o in outs[1:]:
+                df = df.union(o)
+            return df.dropDuplicates(["src", "dst"])
+
+        inner = compile_path_element(kb, spec[0], graph_scope)
         if len(mods) == 1 and mods[0] == "*":
             return transitive_closure(inner).union(
                 _identity_pairs(kb, graph_scope)
@@ -134,43 +229,74 @@ def compile_path_element(kb, spec, graph_scope) -> DataFrame:
     # combinator tuple (sparql.clj:167-187)
     head = spec[0]
     if head == ":or":
-        outs = [compile_path_element(kb, s, graph_scope) for s in spec[1:]]
+        outs = [compile_path_element(kb, s, graph_scope, seed) for s in spec[1:]]
         df = outs[0]
         for o in outs[1:]:
             df = df.union(o)
         return df.dropDuplicates(["src", "dst"])
     if head == ":inverse":
-        inner = compile_path_element(kb, spec[1], graph_scope)
-        return inner.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    # sequence
-    outs = [compile_path_element(kb, s, graph_scope) for s in spec]
-    df = outs[0]
-    for o in outs[1:]:
-        df = _seq_join(df, o)
+        inner_spec = spec[1]
+        if seed is not None and isinstance(inner_spec, (list, tuple)):
+            # push the seed through the inversion so closures inside stay
+            # frontier-evaluated
+            return compile_path_element(kb, _invert_spec(inner_spec), graph_scope, seed)
+        inner = compile_path_element(kb, inner_spec, graph_scope)
+        out = inner.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        return _seed_filter(out, seed)
+    # sequence: seed the first element; re-seed any later closure-bearing
+    # element from the accumulated frontier's dst set
+    df = compile_path_element(kb, spec[0], graph_scope, seed)
+    for s in spec[1:]:
+        if seed is not None and _has_closure(s):
+            df = _seq_join(df, compile_path_element(kb, s, graph_scope, _dst_seed(df)))
+        else:
+            df = _seq_join(df, compile_path_element(kb, s, graph_scope))
     return df
 
 
-def _repeat_exact(kb, pairs: DataFrame, n: int, graph_scope) -> DataFrame:
+def _repeat_exact(kb, pairs: DataFrame, n: int, graph_scope, seed: DataFrame | None = None) -> DataFrame:
     if n == 0:
+        if seed is not None:
+            return _identity_over_seed(kb, seed, graph_scope)
         return _identity_pairs(kb, graph_scope)
-    df = pairs
+    df = _seed_filter(pairs, seed)
     for _ in range(n - 1):
         df = _seq_join(df, pairs)
     return df
 
 
+def _const_seed(kb, term) -> DataFrame:
+    from kr_spark.plans.compiler import term_struct_lit
+
+    return kb.spark.range(1).select(term_struct_lit(term).alias("node"))
+
+
 def compile_path_pattern(kb, s, spec, o, graph_scope):
-    """A triple pattern whose predicate is a path spec -> CompiledPattern."""
+    """A triple pattern whose predicate is a path spec -> CompiledPattern.
+
+    Bound endpoints seed the path evaluation: `(ex/a [knows +] ?x)` walks the
+    frontier from {a} (O(|reachable|)) instead of filtering the full closure
+    (O(|closure|)); a bound OBJECT seeds the structurally inverted spec and
+    swaps the result back (VERDICT r1 #4)."""
     from kr_spark.plans.compiler import CompiledPattern, term_struct_lit
 
-    pairs = compile_path_element(kb, spec, graph_scope)
+    st = kb.term(s)
+    ot = kb.term(o)
+    s_bound = st.kind not in (KIND_VAR, KIND_BNODE)
+    o_bound = ot.kind not in (KIND_VAR, KIND_BNODE)
+    if _has_closure(spec) and s_bound:
+        pairs = compile_path_element(kb, spec, graph_scope, seed=_const_seed(kb, st))
+    elif _has_closure(spec) and o_bound:
+        inv = compile_path_element(
+            kb, _invert_spec(spec), graph_scope, seed=_const_seed(kb, ot)
+        )
+        pairs = inv.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    else:
+        pairs = compile_path_element(kb, spec, graph_scope)
 
     all_vars: list[str] = []
     visible: list[str] = []
     sel = []
-
-    st = kb.term(s)
-    ot = kb.term(o)
     if st.kind in (KIND_VAR, KIND_BNODE):
         all_vars.append(st.v)
         if st.kind == KIND_VAR:

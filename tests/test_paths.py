@@ -82,3 +82,39 @@ def test_path_joined_with_bgp(pkb):
         ]
     )
     assert sorted(b["age"].v for b in res) == ["40", "50"]
+
+
+def _long_chain_fixture(kb, n=80):
+    """ex/a -> small 3-node chain; PLUS a disconnected n-node chain whose
+    full transitive closure needs ~n fixpoint iterations (> the closure
+    loop's max_iters=60). Bound-endpoint queries must therefore run SEEDED
+    frontier reachability — an unseeded full-closure plan raises."""
+    kb.add_statements(
+        [("ex/a", "ex/next", "ex/b"), ("ex/b", "ex/next", "ex/c")]
+        + [(f"ex/n{i}", "ex/next", f"ex/n{i+1}") for i in range(n)]
+    )
+
+
+def test_bound_subject_plus_is_seeded(kb):
+    _long_chain_fixture(kb)
+    res = kb.query([("ex/a", ["ex/next", "+"], "?/x")])
+    assert {b["x"].v.rsplit("/", 1)[-1] for b in res} == {"b", "c"}
+
+
+def test_bound_subject_star_is_seeded(kb):
+    _long_chain_fixture(kb)
+    res = kb.query([("ex/a", ["ex/next", "*"], "?/x")])
+    assert {b["x"].v.rsplit("/", 1)[-1] for b in res} == {"a", "b", "c"}
+
+
+def test_bound_object_plus_is_seeded(kb):
+    _long_chain_fixture(kb)
+    res = kb.query([("?/x", ["ex/next", "+"], "ex/c")])
+    assert {b["x"].v.rsplit("/", 1)[-1] for b in res} == {"a", "b"}
+
+
+def test_bound_subject_seq_closure_is_seeded(kb):
+    _long_chain_fixture(kb)
+    # sequence whose closure element must stay frontier-evaluated
+    res = kb.query([("ex/a", ("ex/next", ["ex/next", "*"]), "?/x")])
+    assert {b["x"].v.rsplit("/", 1)[-1] for b in res} == {"b", "c"}

@@ -69,6 +69,43 @@ def test_two_optionals(kb):
     assert "email" in by_name["Bob"] and "hpage" not in by_name["Bob"]
 
 
+def test_optional_var_disjoint_empty(kb):
+    # SPARQL LeftJoin-on-true semantics (sparql.clj:241-244; semantics per
+    # reference OPTIONAL tests test_sparql.clj:114-133): an OPTIONAL sharing
+    # NO variable with the required part, whose side matches nothing, must
+    # still keep every required-part row with the optional vars unbound.
+    kb.add("ex/a", "rdf/type", "foaf/Person")
+    res = kb.query(
+        [
+            ("?/x", "rdf/type", "foaf/Person"),
+            (":optional", ("?/y", "foaf/mbox", "?/z")),
+        ]
+    )
+    assert len(res) == 1
+    assert res[0]["x"].v.endswith("a")
+    assert "y" not in res[0] and "z" not in res[0]
+
+
+def test_optional_var_disjoint_nonempty(kb):
+    # LeftJoin on true with a non-empty optional side = cross product of the
+    # required rows with the optional-side bindings (2 persons x 1 mbox -> 2).
+    kb.add_statements(
+        [
+            ("ex/a", "rdf/type", "foaf/Person"),
+            ("ex/b", "rdf/type", "foaf/Person"),
+            ("ex/m", "foaf/mbox", "<mailto:x@example.org>"),
+        ]
+    )
+    res = kb.query(
+        [
+            ("?/x", "rdf/type", "foaf/Person"),
+            (":optional", ("?/y", "foaf/mbox", "?/z")),
+        ]
+    )
+    assert len(res) == 2
+    assert all("y" in b and "z" in b for b in res)
+
+
 def test_union(kb):
     # test_sparql.clj:135-143
     load_fixture(kb, TEST_TRIPLES_7)
