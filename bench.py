@@ -164,7 +164,7 @@ def main() -> None:
         "--n-convs",
         type=int,
         default=None,
-        help="fixed conversation count (scaling mode defaults to 40000; "
+        help="fixed conversation count (scaling mode defaults to 400000; "
         "normal mode sizes from the sf documents table)",
     )
     args = ap.parse_args()

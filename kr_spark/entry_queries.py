@@ -1013,7 +1013,8 @@ ORACLES = {
         WITH base AS (
           SELECT {_CU} AS s, '{RE}inNation' AS p, {_NA_C} AS o FROM customer
         ), m AS (
-          SELECT '{ENT}STMT_' || md5(s || chr(31) || p || chr(31) || o) AS n, s, p, o
+          SELECT '{ENT}STMT_' || md5(s || chr(31) || p || chr(31) || o
+                                      || chr(31) || chr(31)) AS n, s, p, o
           FROM base
         )
         SELECT n AS s, '{RDF_NS}type' AS p, '{RDF_NS}Statement' AS o FROM m

@@ -107,6 +107,7 @@ class KB:
         self.ns = ns if ns is not None else NamespaceRegistry()
         self._df = df if df is not None else spark.createDataFrame([], TRIPLE_SCHEMA)
         self._pending: list[Row] = []
+        self._pending_unchecked: list[Row] = []
         self.use_default_language = use_default_language
         self.default_language = default_language
         # default graph for adds, like kr's dynamic *graph* (rdf.clj:20)
@@ -140,9 +141,25 @@ class KB:
             g = self.term(g).v
         self._pending.append(triple_row(self.term(s), self.term(p), self.term(o), g))
 
-    # Unchecked insert (M2, rdf.clj:524-535) — same batching; the flush dedup
-    # makes checked/unchecked equivalent for the in-memory KB.
-    add_unchecked = add
+    def add_unchecked(self, s, p, o, graph: str | None = None) -> None:
+        """Unchecked insert (M2, rdf.clj:524-535): plain append, NO existence
+        anti-join at flush. Duplicate rows may exist until `compact()` — the
+        columnar trade for a cheaper write path (SURVEY §2.2: append +
+        periodic dropDuplicates compaction). The reference's backing stores
+        are sets, so post-compaction state matches the reference exactly.
+        """
+        g = graph if graph is not None else self.graph
+        if g is not None:
+            g = self.term(g).v
+        self._pending_unchecked.append(
+            triple_row(self.term(s), self.term(p), self.term(o), g)
+        )
+
+    def compact(self) -> None:
+        """Dedup unchecked appends — restores set semantics (M2's deferred
+        half of checked-add; at scale this is the background table rewrite)."""
+        self.flush()
+        self._df = self._df.dropDuplicates(TRIPLE_KEY).localCheckpoint()
 
     def add_statements(self, triples: Iterable[tuple]) -> None:
         """Batch insert (M3, rdf.clj:78)."""
@@ -162,14 +179,17 @@ class KB:
         ).localCheckpoint()
 
     def flush(self) -> None:
-        if not self._pending:
-            return
-        batch = self.spark.createDataFrame(self._pending, TRIPLE_SCHEMA).dropDuplicates(
-            TRIPLE_KEY
-        )
-        self._pending = []
-        fresh = anti_join_null_safe(batch, self._df, TRIPLE_KEY)
-        self._df = self._df.unionByName(fresh).localCheckpoint()
+        if self._pending:
+            batch = self.spark.createDataFrame(
+                self._pending, TRIPLE_SCHEMA
+            ).dropDuplicates(TRIPLE_KEY)
+            self._pending = []
+            fresh = anti_join_null_safe(batch, self._df, TRIPLE_KEY)
+            self._df = self._df.unionByName(fresh).localCheckpoint()
+        if self._pending_unchecked:
+            batch = self.spark.createDataFrame(self._pending_unchecked, TRIPLE_SCHEMA)
+            self._pending_unchecked = []
+            self._df = self._df.unionByName(batch).localCheckpoint()
 
     def df(self) -> DataFrame:
         self.flush()

@@ -36,20 +36,34 @@ def canonical_mapping(
     return cc.select(F.col("node"), F.col("component").alias("canonical"))
 
 
+# Above this many mapping rows a broadcast hint risks driver/executor OOM
+# (~100 bytes/row of URI strings -> ~400 MB serialized at the limit).
+BROADCAST_ROW_LIMIT = 4_000_000
+
+
+def maybe_broadcast(df: DataFrame, max_rows: int = BROADCAST_ROW_LIMIT) -> DataFrame:
+    """Broadcast hint only when `df` is PROVABLY small: probe with an
+    early-stopping limit+count; above the cap, return the frame unhinted so
+    the planner picks a shuffle join. An unconditional `F.broadcast` on a
+    one-row-per-distinct-surface mapping OOMs at 10^12-turn scale where
+    distinct surfaces plausibly reach 10^8-9 (VERDICT r1 #6)."""
+    probe = df.limit(max_rows + 1).count()
+    return F.broadcast(df) if probe <= max_rows else df
+
+
 def rewrite_triples_canonical(
-    triples: DataFrame, mapping: DataFrame, salt_threshold: int = 0
+    triples: DataFrame, mapping: DataFrame, broadcast_max_rows: int = BROADCAST_ROW_LIMIT
 ) -> DataFrame:
     """Rewrite subject and object URIs to canonical ids.
 
-    Two left joins (s side, o side). The mapping is usually much smaller than
-    the triple table -> broadcast it when it fits; at 100 TB the mapping for
-    hot entities is exactly the skewed side, so we keep the broadcast hint
-    only for the mapping (one row per aliased node, bounded by entity count,
-    not triple count).
+    Two left joins (s side, o side). The mapping (one row per aliased node,
+    bounded by entity count, not triple count) is usually much smaller than
+    the triple table -> size-gated broadcast: hint only below
+    `broadcast_max_rows`, else sort-merge/shuffle join (AQE may still elect
+    broadcast from runtime stats). The mapping is checkpointed first so the
+    size probe and the two join sides don't recompute the CC subtree.
     """
-    m = mapping
-    if salt_threshold == 0:
-        m = F.broadcast(m)
+    m = maybe_broadcast(mapping.localCheckpoint(), broadcast_max_rows)
     s_map = m.select(
         F.col("node").alias("__sn"), F.col("canonical").alias("__sc")
     )

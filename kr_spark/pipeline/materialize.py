@@ -113,7 +113,31 @@ def ingest_transcripts(
             .partitionBy("__bucket")
             .parquet(path)
         )
+        # record the bucketing the snapshot was written with: a resume into
+        # this out_dir must extract with the SAME n_buckets or rows in
+        # buckets >= the smaller count would silently never be extracted
+        with open(os.path.join(path, "_n_buckets.json"), "w") as f:
+            json.dump({"n_buckets": n_buckets}, f)
     return spark.read.parquet(path)
+
+
+def snapshot_n_buckets(out_dir: str) -> int | None:
+    """n_buckets the committed ingest snapshot was written with, or None if
+    no snapshot exists. Source of truth for resume (falls back to the
+    partition directories for snapshots predating the sidecar)."""
+    path = os.path.join(out_dir, "stage_ingest")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        return None
+    meta = os.path.join(path, "_n_buckets.json")
+    if os.path.exists(meta):
+        with open(meta) as f:
+            return int(json.load(f)["n_buckets"])
+    vals = [
+        int(name.split("=", 1)[1])
+        for name in os.listdir(path)
+        if name.startswith("__bucket=")
+    ]
+    return max(vals) + 1 if vals else None
 
 
 def run_extract_stage(
@@ -224,12 +248,18 @@ def materialize_triples(
     )
     from kr_spark.pipeline.transcripts import ENT_NS
 
+    from kr_spark.operators.canon import maybe_broadcast
+
     extracted = load_extracted(spark, out_dir)
     mentions = mentions_from_extractions(extracted)
     edges = link_entities(mentions)
     mapping = canonical_surface_mapping(mentions, edges, salt=salt)
 
-    m = F.broadcast(mapping)
+    # size-gated broadcast (VERDICT r1 #6): the mapping has one row per
+    # distinct mention surface — plausibly 10^8-9 at 10^12-turn scale, far
+    # past broadcastability. Checkpoint once (reused by both join sides and
+    # the size probe), hint only when provably small.
+    m = maybe_broadcast(mapping.localCheckpoint())
     s_map = m.select(F.col("surface").alias("__ss"), F.col("canonical").alias("__sc"))
     o_map = m.select(F.col("surface").alias("__os"), F.col("canonical").alias("__oc"))
     triples = (
@@ -286,13 +316,19 @@ def run_pipeline(
     use_arrow_extractor: bool = True,
 ) -> DataFrame:
     """End-to-end: input snapshot + resumable extract stage + global
-    materialize."""
-    snapshot = ingest_transcripts(spark, transcripts, out_dir, n_buckets=n_buckets)
+    materialize.
+
+    On resume into an existing out_dir the snapshot's recorded n_buckets is
+    authoritative: extracting with a smaller count would iterate fewer
+    buckets than the snapshot's __bucket assignment and silently drop the
+    rest (ADVICE r1, medium)."""
+    effective = snapshot_n_buckets(out_dir) or n_buckets
+    snapshot = ingest_transcripts(spark, transcripts, out_dir, n_buckets=effective)
     run_extract_stage(
         spark,
         snapshot,
         out_dir,
-        n_buckets=n_buckets,
+        n_buckets=effective,
         fail_after=fail_after,
         use_arrow_extractor=use_arrow_extractor,
     )

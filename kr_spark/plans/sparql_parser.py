@@ -10,12 +10,15 @@ query kr itself generates round-trips through here:
   SELECT (COUNT(*) AS ?c) WHERE { ... }   (the 1.1 count form);
   groups of triple patterns with OPTIONAL { }, { } UNION { },
   GRAPH <g>/prefixed { }, FILTER (expr) with the §2.5 operator set;
-  terms: <uri>, prefix:local, ?var, _:bnode, "lit"[@lang|^^dt], numbers.
+  terms: <uri>, prefix:local, ?var, _:bnode, "lit"[@lang|^^dt], numbers;
+  property paths in predicate position — the syntax kr's own compiler emits
+  (sparql.clj:130-199): p* p+ p? p{n} p{n,m} p{n,} p{,m}, p1/p2, p1|p2, ^p,
+  parenthesized composition.
 
 The output is the engine's native pattern s-expression (plans/compiler.py
 input), so the full Catalyst pipeline — join ordering, pushdown, branch
-pruning — applies identically to parsed queries. Property paths in string
-form are not supported (use the native list syntax).
+pruning, bound-endpoint path seeding — applies identically to parsed
+queries.
 """
 
 from __future__ import annotations
@@ -33,12 +36,30 @@ _TOKEN = re.compile(
     | (?P<number>[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
     | (?P<langtag>@[A-Za-z][\w-]*)
     | (?P<dtmark>\^\^)
-    | (?P<punct>[{}().,;]|\|\||&&|!=|<=|>=|[=<>!*/+-])
+    | (?P<punct>[{}().,;]|\|\||&&|!=|<=|>=|[=<>!*/+?^|-])
     | (?P<word>[A-Za-z_][\w.-]*:?[\w.-]*)
     )
     """,
     re.VERBOSE,
 )
+
+
+_SIMPLE_ESC = {"\\": "\\", '"': '"', "'": "'", "n": "\n", "r": "\r", "t": "\t",
+               "b": "\b", "f": "\f"}
+
+
+def _unescape_string(s: str) -> str:
+    """SPARQL string-literal escapes: simple (\\n \\r \\t \\" \\\\ ...) and
+    \\uXXXX / \\UXXXXXXXX (left-to-right, so escaped backslashes can't feed
+    later escapes — same contract as sources/ntriples.unescape_ntriples)."""
+
+    def sub(m: re.Match) -> str:
+        g = m.group(1)
+        if g[0] in "uU" and len(g) > 1:
+            return chr(int(g[1:], 16))
+        return _SIMPLE_ESC.get(g, "\\" + g)
+
+    return re.sub(r"\\(u[0-9A-Fa-f]{4}|U[0-9A-Fa-f]{8}|.)", sub, s)
 
 _KEYWORDS = {
     "prefix", "select", "ask", "construct", "where", "distinct", "reduced",
@@ -98,7 +119,7 @@ class _Parser:
             return "_/" + tok[2:]
         if tok.startswith('"'):
             m = re.match(r'^"((?:[^"\\]|\\.)*)"$', tok)
-            lex = m.group(1).replace('\\"', '"').replace("\\\\", "\\")
+            lex = _unescape_string(m.group(1))
             nxt = self.peek()
             if nxt and nxt.startswith("@"):
                 self.next()
@@ -152,13 +173,67 @@ class _Parser:
                     clauses.append((":union", *branches))
             else:
                 s = self._term(self.next())
-                p = self._term(self.next())
+                p = self._path()
                 o = self._term(self.next())
                 clauses.append((s, p, o))
                 if self.peek() == ".":
                     self.next()
         self.eat("}")
         return clauses
+
+    # ---- property paths in predicate position (sparql.clj:130-199) ----
+    # SPARQL 1.1 path grammar subset kr emits. Engine spec mapping:
+    #   modifier  -> list:  ["p","*"] ["p","+"] ["p","?"] ["p",n] ["p",n,m]
+    #   sequence  -> tuple: ("p1","p2")   alternation -> (":or", ...)
+    #   inverse   -> (":inverse", p)
+    def _path(self):
+        alts = [self._path_seq()]
+        while self.peek() == "|":
+            self.next()
+            alts.append(self._path_seq())
+        return alts[0] if len(alts) == 1 else (":or", *alts)
+
+    def _path_seq(self):
+        parts = [self._path_elt()]
+        while self.peek() == "/":
+            self.next()
+            parts.append(self._path_elt())
+        return parts[0] if len(parts) == 1 else tuple(parts)
+
+    def _path_elt(self):
+        inverse = False
+        if self.peek() == "^":
+            self.next()
+            inverse = True
+        if self.peek() == "(":
+            self.next()
+            prim = self._path()
+            self.eat(")")
+        else:
+            prim = self._term(self.next())
+        t = self.peek()
+        if t == "*":
+            self.next()
+            prim = [prim, "*"]
+        elif t == "+":
+            self.next()
+            prim = [prim, "+"]
+        elif t == "?":
+            self.next()
+            prim = [prim, "?"]
+        elif t == "{":
+            self.next()
+            n = int(self.next()) if re.fullmatch(r"\d+", self.peek() or "") else None
+            if self.peek() == ",":
+                self.next()
+                m = int(self.next()) if re.fullmatch(r"\d+", self.peek() or "") else None
+                prim = [prim, n, m]
+            else:
+                prim = [prim, n]  # p{n} exact
+            self.eat("}")
+        if inverse:
+            prim = (":inverse", prim)
+        return prim
 
     # ---- FILTER expressions -> engine filter s-exprs ----
     _CMP = {"=", "!=", "<", ">", "<=", ">="}
@@ -326,7 +401,10 @@ def sparql_count(kb, text: str) -> int:
     q = parse_sparql(kb, text)
     if q["type"] not in ("count", "select"):
         raise ValueError(f"not countable: {q['type']}")
-    return kb.count(q["pattern"], limit=q.get("limit"))
+    # a SELECT DISTINCT counted as bag semantics over-reports (ADVICE r1)
+    return kb.count(
+        q["pattern"], distinct=q.get("distinct", False), limit=q.get("limit")
+    )
 
 
 def sparql_construct(kb, text: str):

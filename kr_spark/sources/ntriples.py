@@ -24,6 +24,44 @@ _LINE = re.compile(
 )
 
 
+def unescape_ntriples(lex):
+    """Decode N-Triples string escapes as a pure column expression.
+
+    Sentinel-free (a NUL-byte sentinel corrupted lexical forms genuinely
+    containing NUL): split on the literal two-character '\\\\' token first —
+    isolating escaped backslashes — then inside each fragment every
+    remaining backslash starts a simple escape, so plain literal replaces
+    plus a \\uXXXX (BMP) decode are exact; re-join with single backslashes.
+    \\UXXXXXXXX (beyond-BMP) is left undecoded (no UTF-32 charset in
+    Spark's decode); the reference fixtures never use it.
+    """
+
+    def _frag(p):
+        p = F.replace(p, F.lit('\\"'), F.lit('"'))
+        p = F.replace(p, F.lit("\\n"), F.lit("\n"))
+        p = F.replace(p, F.lit("\\r"), F.lit("\r"))
+        p = F.replace(p, F.lit("\\t"), F.lit("\t"))
+        # \uXXXX: split on the literal '\u'; each tail segment starts with
+        # 4 hex digits -> UTF-16BE decode; malformed stays verbatim
+        segs = F.split(p, r"\\u")
+        head = F.element_at(segs, 1)
+        tail = F.slice(segs, 2, F.greatest(F.size(segs) - 1, F.lit(0)))
+        dec = F.transform(
+            tail,
+            lambda s: F.coalesce(
+                F.concat(
+                    F.decode(F.unhex(F.substring(s, 1, 4)), "UTF-16BE"),
+                    F.substr(s, F.lit(5)),
+                ),
+                F.concat(F.lit("\\u"), s),
+            ),
+        )
+        return F.concat(head, F.array_join(dec, ""))
+
+    parts = F.split(lex, r"\\\\")
+    return F.array_join(F.transform(parts, _frag), "\\")
+
+
 def parse_ntriples_df(spark, lines_df: DataFrame, text_col: str = "value") -> DataFrame:
     """Distributed N-Triples parse: text lines -> TRIPLE_SCHEMA rows."""
     c = F.col(text_col)
@@ -46,15 +84,7 @@ def parse_ntriples_df(spark, lines_df: DataFrame, text_col: str = "value") -> Da
     o_is_uri = F.col("o_raw").startswith("<")
     o_is_bnode = F.col("o_raw").startswith("_:")
     o_kind = F.when(o_is_uri, "uri").when(o_is_bnode, "bnode").otherwise("literal")
-    lex = F.regexp_extract("o_raw", r'^"((?:[^"\\]|\\.)*)"', 1)
-    # unescape with a sentinel so '\\' and '\"' can't interact: stash
-    # escaped backslashes, unescape the rest, restore
-    lex = F.replace(lex, F.lit("\\\\"), F.lit("\x00"))
-    lex = F.replace(lex, F.lit('\\"'), F.lit('"'))
-    lex = F.replace(lex, F.lit("\\n"), F.lit("\n"))
-    lex = F.replace(lex, F.lit("\\r"), F.lit("\r"))
-    lex = F.replace(lex, F.lit("\\t"), F.lit("\t"))
-    lex = F.replace(lex, F.lit("\x00"), F.lit("\\"))
+    lex = unescape_ntriples(F.regexp_extract("o_raw", r'^"((?:[^"\\]|\\.)*)"', 1))
     o_val = (
         F.when(o_is_uri, F.regexp_extract("o_raw", r"^<(.*)>$", 1))
         .when(o_is_bnode, F.expr("substring(o_raw, 3)"))

@@ -109,3 +109,34 @@ def test_dedup_on_real_documents(docs):
     n_docs = docs.count()
     assert out.count() == n_docs
     assert out.filter(F.col("canonical_id") > F.col("doc_id")).count() == 0
+
+
+def test_ngram_jaccard_planted_stopword_shingles(spark):
+    # Every doc shares the same stop-word opener ("the weather is nice
+    # today..."): a naive shared-shingle self-join fans out O(n_docs^2) on
+    # those shingles. Prefix filtering must still return the EXACT pair set.
+    import itertools
+
+    docs = []
+    for i in range(60):
+        # common prefix + mostly-unique tail; docs 2i/2i+1 for i<5 share tails
+        tail = f"unique tail {i // 2 if i < 10 else i} alpha beta gamma delta"
+        docs.append((f"d{i:03d}", f"the weather is nice today and {tail}"))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(df, shingle_k=3, threshold=0.5).collect()
+    }
+    # brute force oracle in Python
+    def shingles(t):
+        toks = t.lower().split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    want = set()
+    for (ia, ta), (ib, tb) in itertools.combinations(docs, 2):
+        sa, sb = shingles(ta), shingles(tb)
+        j = len(sa & sb) / len(sa | sb)
+        if j >= 0.5:
+            want.add((ia, ib, round(j, 6)))
+    assert got == want
+    assert len(want) >= 5  # the planted near-dup pairs exist

@@ -371,3 +371,20 @@ def test_fn_reify_pandas(kb):
         "http://www.example.org/FN_A",
         "http://www.example.org/FN_B",
     }
+
+
+def test_reify_paths_mint_identical_nodes(kb):
+    # One skolem scheme across APIs: the driver-side helper and the
+    # DataFrame path must mint the SAME node for the same statement, or
+    # mixing the APIs in one KB breaks join-ability.
+    from kr_spark.operators.reify import reify_statement_triples, reify_statements_df
+
+    driver_triples = reify_statement_triples(kb, "ex/a", "ex/p", "ex/b")
+    driver_node = driver_triples[0][0].v
+
+    ex = kb.ns.short_to_long["ex"]
+    stmts = kb.spark.createDataFrame(
+        [(ex + "a", ex + "p", ex + "b")], ["s", "p", "o"]
+    )
+    df_node = reify_statements_df(stmts, ns=ex, prefix="STMT_").collect()[0].s
+    assert driver_node == df_node

@@ -146,3 +146,16 @@ def test_ntriples_escaping_roundtrip(kb, spark):
     back = parse_ntriples_df(spark, lines)
     got = {r.o for r in back.collect()}
     assert got == set(hostile)
+
+
+def test_add_unchecked_then_compact(kb):
+    # M2 (rdf.clj:524-535): unchecked append keeps duplicates until
+    # compact(), which restores the reference store's set semantics.
+    kb.add("ex/a", "ex/p", "ex/b")
+    kb.add_unchecked("ex/a", "ex/p", "ex/b")  # duplicate of a checked add
+    kb.add_unchecked("ex/c", "ex/p", "ex/d")
+    kb.add_unchecked("ex/c", "ex/p", "ex/d")  # duplicate of itself
+    assert kb.size() == 4  # duplicates present pre-compaction
+    kb.compact()
+    assert kb.size() == 2
+    assert kb.ask_rdf("ex/c", "ex/p", "ex/d")

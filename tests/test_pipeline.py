@@ -124,3 +124,24 @@ def test_extract_stage_manifests(spark, transcripts, tmp_path):
     assert all(m["lineage"]["stage"] == "extract" for m in mans)
     # idempotent: second run does nothing
     assert run_extract_stage(spark, transcripts, out, n_buckets=4) == 0
+
+
+def test_pipeline_pr_without_broadcast(spark, transcripts, tmp_path, monkeypatch):
+    # Forced large-mapping path (VERDICT r1 #6 done-criterion): auto
+    # broadcast off AND the size gate forced past its cap -> the canonical
+    # mapping joins as a shuffle join; P/R must hold unchanged.
+    import kr_spark.operators.canon as canon
+
+    real = canon.maybe_broadcast
+    monkeypatch.setattr(canon, "maybe_broadcast", lambda df, max_rows=0: real(df, 0))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = str(tmp_path / "kg_nobc")
+        triples = run_pipeline(spark, transcripts, out, n_buckets=4)
+        truth = generate_ground_truth(spark, N_CONVS)
+        p, r = precision_recall(triples, truth)
+        assert p >= 0.95 and r >= 0.95, (p, r)
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

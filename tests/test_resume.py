@@ -29,3 +29,31 @@ def test_kill_and_resume_identical(spark, tmp_path):
     assert a.count() == b.count()
     assert a.exceptAll(b).isEmpty()
     assert b.exceptAll(a).isEmpty()
+
+
+def test_resume_with_stale_n_buckets_arg(spark, tmp_path):
+    # A snapshot written with 4 buckets, resumed with n_buckets=2: the
+    # snapshot's recorded bucketing must win, or rows in buckets 2-3 would
+    # silently never be extracted (ADVICE r1 medium).
+    transcripts = generate_transcripts(spark, N_CONVS)
+    out_a = str(tmp_path / "full")
+    full = run_pipeline(spark, transcripts, out_a, n_buckets=4)
+
+    out_b = str(tmp_path / "killed")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_pipeline(spark, transcripts, out_b, n_buckets=4, fail_after=2)
+    resumed = run_pipeline(spark, transcripts, out_b, n_buckets=2)  # stale arg
+
+    cols = ["s", "p", "o", "conv_id", "turn_idx"]
+    a, b = full.select(*cols), resumed.select(*cols)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_snapshot_n_buckets_sidecar(spark, tmp_path):
+    from kr_spark.pipeline.materialize import ingest_transcripts, snapshot_n_buckets
+
+    out = str(tmp_path / "snap")
+    assert snapshot_n_buckets(out) is None
+    ingest_transcripts(spark, generate_transcripts(spark, 8), out, n_buckets=4)
+    assert snapshot_n_buckets(out) == 4

@@ -169,3 +169,71 @@ def test_sparql_visit_template_construct_visit(kb):
     )
     assert len(triples) == 2
     assert all(p == "http://www.example.org/renamed" for _, p, _ in triples)
+
+
+# ---- property paths in string form (sparql.clj:130-199 emission syntax;
+# semantics mirror test_sparql_property_paths.clj:54-89) ----
+
+
+@pytest.fixture()
+def path_kb(kb):
+    from tests.conftest import TEST_TRIPLES_PATHS
+
+    return load_fixture(kb, TEST_TRIPLES_PATHS)
+
+
+def test_sparql_path_plus_star_question(path_kb):
+    q = lambda p: {
+        b["x"].v.rsplit("/", 1)[-1]
+        for b in path_kb.sparql_query(PREFIXES + "SELECT ?x WHERE { ex:a " + p + " ?x . }")
+    }
+    assert q("foaf:knows+") == {"b", "c"}
+    assert q("foaf:knows*") == {"a", "b", "c"}
+    assert q("foaf:knows?") == {"a", "b"}
+
+
+def test_sparql_path_sequence_and_composition(path_kb):
+    rows = path_kb.sparql_query(
+        PREFIXES + "SELECT ?age WHERE { ex:a foaf:knows/foaf:age ?age . }"
+    )
+    assert sorted(b["age"].v for b in rows) == ["40"]
+    rows = path_kb.sparql_query(
+        PREFIXES + "SELECT ?age WHERE { ex:a (foaf:knows+)/foaf:age ?age . }"
+    )
+    assert sorted(b["age"].v for b in rows) == ["40", "50"]
+
+
+def test_sparql_path_alternation_inverse_bounded(path_kb):
+    rows = path_kb.sparql_query(
+        PREFIXES + "SELECT ?n WHERE { ?p foaf:givenname|foaf:firstname ?n . }"
+    )
+    assert len(rows) == 3
+    rows = path_kb.sparql_query(
+        PREFIXES + "SELECT ?who WHERE { ex:b ^foaf:knows ?who . }"
+    )
+    assert [b["who"].v.rsplit("/", 1)[-1] for b in rows] == ["a"]
+    rows = path_kb.sparql_query(
+        PREFIXES + "SELECT ?x WHERE { ex:a foaf:knows{1,2} ?x . }"
+    )
+    assert {b["x"].v.rsplit("/", 1)[-1] for b in rows} == {"b", "c"}
+    rows = path_kb.sparql_query(
+        PREFIXES + "SELECT ?x WHERE { ex:a foaf:knows{2} ?x . }"
+    )
+    assert {b["x"].v.rsplit("/", 1)[-1] for b in rows} == {"c"}
+
+
+def test_sparql_string_escapes(kb):
+    # \n, \t and \uXXXX escapes in query literals must match stored data
+    kb.add("ex/a", "ex/p", ["line1\nline2\tA"])
+    assert kb.sparql_ask(PREFIXES + 'ASK { ex:a ex:p "line1\\nline2\\t\\u0041" . }')
+
+
+def test_sparql_count_distinct(kb):
+    load_fixture(kb, TEST_TRIPLES_6_1)
+    # identical UNION branches duplicate every binding row: bag counts 2,
+    # DISTINCT must count 1 (ADVICE r1: DISTINCT was dropped in counts)
+    base = (
+        "WHERE { { ex:a foaf:name ?n . } UNION { ex:a foaf:name ?n . } }"
+    )
+    assert kb.sparql_count(PREFIXES + "SELECT ?n " + base) == 2
+    assert kb.sparql_count(PREFIXES + "SELECT DISTINCT ?n " + base) == 1
