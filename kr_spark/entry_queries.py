@@ -589,6 +589,49 @@ def q_ntriples_roundtrip(spark, sf_dir):
     )
 
 
+def q_turtle_roundtrip(spark, sf_dir):
+    """S2 Turtle format (rdf.clj:539-547): serialize customer facts to a
+    Turtle document (CURIEs, lang tags, typed literals, `a`) and parse it
+    back through the distributed mapInPandas path — exact term round-trip."""
+    from kr_spark.sources.turtle import export_turtle_doc, parse_turtle_df
+
+    XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+    customer = _read(spark, sf_dir, "customer")
+    c_uri = _uri(CUST, F.col("c_custkey"))
+    names = customer.select(
+        *_t(c_uri, FOAF_NAME, F.col("c_name"), "literal", o_lang="en")
+    )
+    nats = customer.select(
+        *_t(
+            c_uri,
+            RE + "natkey",
+            F.col("c_nationkey").cast("string"),
+            "literal",
+            o_dt=XSD_INT,
+            num=F.col("c_nationkey"),
+        )
+    )
+    types = customer.select(*_t(c_uri, RDF_TYPE, F.lit(TY + "Customer")))
+    doc = export_turtle_doc(
+        names.unionByName(nats).unionByName(types),
+        {
+            "kgc": CUST,
+            "rel": RE,
+            "ty": TY,
+            "foaf": "http://xmlns.com/foaf/0.1/",
+            "xsd": "http://www.w3.org/2001/XMLSchema#",
+        },
+    )
+    back = parse_turtle_df(spark, doc)
+    return back.select(
+        F.col("s").alias("cust"),
+        F.col("p").alias("pred"),
+        F.col("o").alias("obj"),
+        F.coalesce(F.col("o_lang"), F.lit("")).alias("lang"),
+        F.coalesce(F.col("o_datatype"), F.lit("")).alias("dt"),
+    )
+
+
 def q_postprocess_rule(spark, sf_dir):
     """K5 (rule.clj:168-181): post-processing rule — body bindings streamed
     through an arbitrary vectorized transform (Arrow-batched mapInPandas)."""
@@ -620,11 +663,12 @@ def q_postprocess_rule(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Rows-only check (no SQL oracle): multimodal plumbing — binary media
-    column + typed metadata through the Arrow feature-extraction UDF (decode
-    itself is a deterministic stub; determinism asserted in
-    tests/test_multimodal.py). Media row count derives from the documents
-    table so the input universe comes from the sf dir."""
+    """Multimodal plumbing — binary media column + typed metadata through
+    the Arrow feature-extraction UDF. The stub decode is deterministic
+    (payload bytes are md5-derived), so the mean_luma math has a closed-form
+    DuckDB twin; determinism also asserted in tests/test_multimodal.py.
+    Media row count derives from the documents table so the input universe
+    comes from the sf dir."""
     from kr_spark.operators.multimodal import extract_image_features, synthesize_media
 
     n_docs = _read(spark, sf_dir, "documents").count()
@@ -742,13 +786,65 @@ def q_embed_neardup(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """Rows-only check (no SQL oracle): approximate ANN via sign-LSH buckets;
-    recall vs brute force asserted in tests/test_similarity.py."""
+    """Approximate ANN via sign-LSH buckets. The hyperplanes are seeded and
+    deterministic, so the bucket math has a closed-form DuckDB oracle
+    (generated from the SAME plane constants in _ann_oracle_sql); recall vs
+    brute force is additionally asserted in tests/test_similarity.py."""
     from kr_spark.operators.similarity import lsh_ann_topk
 
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return lsh_ann_topk(emb, queries, k=5)
+
+
+def _ann_oracle_sql() -> str:
+    """DuckDB twin of q_ann_lsh_topk: same seeded hyperplanes as SQL list
+    literals, same bucket bits (dot >= 0), same any-table candidate union,
+    same rounded-cosine ranking. list_dot_product's summation matches
+    Spark's zip_with/aggregate fold (established by q_cosine_topk)."""
+    from kr_spark.operators.similarity import _hyperplanes
+
+    def plane_lit(p):
+        return "[" + ", ".join(repr(x) for x in p) + "]"
+
+    per_table = []
+    for t in range(8):  # n_tables=8, n_planes=4, dim=64, seed=7 (defaults)
+        planes = _hyperplanes(64, 4, seed=7 + 1000 * t)
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(e, {plane_lit(p)}) >= 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        per_table.append(f"SELECT vec_id, {t} AS tbl, {bits} AS bucket FROM v")
+    buckets = "\n        UNION ALL ".join(per_table)
+    return f"""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                 sqrt(list_sum(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) * x))) AS nrm
+          FROM embeddings
+        ),
+        b AS ({buckets}),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+          FROM b c JOIN b q ON c.bucket = q.bucket AND c.tbl = q.tbl
+          WHERE q.vec_id < 5 AND c.vec_id != q.vec_id
+        ),
+        scored AS (
+          SELECT cand.query_id, cand.neighbor_id,
+                 ROUND(list_dot_product(c.e, q.e) / (c.nrm * q.nrm), 6) AS cosine
+          FROM cand
+          JOIN v c ON c.vec_id = cand.neighbor_id
+          JOIN v q ON q.vec_id = cand.query_id
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 5
+    """
 
 
 # =====================================================================
@@ -1060,6 +1156,20 @@ ORACLES = {
     "q_ntriples_roundtrip": f"""
         SELECT {_CU} AS cust, c_name AS cname, 'en' AS lang FROM customer
     """,
+    "q_turtle_roundtrip": f"""
+        SELECT {_CU} AS cust, '{FOAF_NAME}' AS pred, c_name AS obj,
+               'en' AS lang, '' AS dt
+        FROM customer
+        UNION ALL
+        SELECT {_CU} AS cust, '{RE}natkey' AS pred,
+               CAST(c_nationkey AS VARCHAR) AS obj, '' AS lang,
+               'http://www.w3.org/2001/XMLSchema#integer' AS dt
+        FROM customer
+        UNION ALL
+        SELECT {_CU} AS cust, '{RDF_TYPE}' AS pred, '{TY}Customer' AS obj,
+               '' AS lang, '' AS dt
+        FROM customer
+    """,
     "q_postprocess_rule": f"""
         SELECT {_CU} AS cust, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
         FROM customer
@@ -1200,6 +1310,27 @@ ORACLES = {
         SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 5
     """,
     "q_kg_pipeline": _kg_truth_sql(),
+    "q_ann_lsh_topk": _ann_oracle_sql(),
+    # closed-form twin of the deterministic stub decode: payload = unhex of
+    # the first 16 md5 hex chars ('42' || id) repeated; the 8-dim feature is
+    # those 8 bytes / 255; mean_luma replicates Python's sequential sum / 8
+    "q_multimodal_features": """
+        WITH ids AS (
+          SELECT (ROW_NUMBER() OVER (ORDER BY doc_id)) - 1 AS i FROM documents
+        ), m AS (
+          SELECT i AS media_id,
+                 CAST(((i % 16) + 1) * 64 AS INT) AS width,
+                 CAST(((i % 9) + 1) * 64 AS INT) AS height,
+                 substr(md5('42' || CAST(i AS VARCHAR)), 1, 16) AS h
+          FROM ids WHERE i < 300 AND i % 3 = 0
+        )
+        SELECT media_id, width, height,
+               ROUND(list_sum(list_transform(range(0, 8), j ->
+                     (16 * (strpos('0123456789abcdef', substr(h, 2*j + 1, 1)) - 1)
+                         + (strpos('0123456789abcdef', substr(h, 2*j + 2, 1)) - 1))
+                     / 255.0)) / 8, 6) AS mean_luma
+        FROM m
+    """,
 }
 
 
@@ -1215,6 +1346,7 @@ QUERIES = {
     "q_type_infer": q_type_infer,
     "q_most_specific_types": q_most_specific_types,
     "q_ntriples_roundtrip": q_ntriples_roundtrip,
+    "q_turtle_roundtrip": q_turtle_roundtrip,
     "q_postprocess_rule": q_postprocess_rule,
     "q_multimodal_features": q_multimodal_features,
     "q_quality_score": q_quality_score,

@@ -388,3 +388,88 @@ def test_reify_paths_mint_identical_nodes(kb):
     )
     df_node = reify_statements_df(stmts, ns=ex, prefix="STMT_").collect()[0].s
     assert driver_node == df_node
+
+
+def test_rule_loading_from_dir(kb, spark, tmp_path):
+    # K6 (rule.clj:45-65): rules serialized to JSON files in a directory run
+    # to the SAME fixpoint as the in-memory dicts.
+    from kr_spark.kb import KB
+    from kr_spark.operators.rule_loader import dump_rule_json, load_rules
+    from kr_spark.operators.rules import run_rules_to_fixpoint
+
+    fixture = [
+        ("ex/Dog", "rdfs/subClassOf", "ex/Mammal"),
+        ("ex/Mammal", "rdfs/subClassOf", "ex/Animal"),
+        ("ex/rex", "rdf/type", "ex/Dog"),
+        ("ex/rex", "foaf/name", "Rex"),
+    ]
+    rules = [
+        {
+            "name": "rdfs11",
+            "head": [("?/a", "rdfs/subClassOf", "?/c")],
+            "body": [
+                ("?/a", "rdfs/subClassOf", "?/b"),
+                ("?/b", "rdfs/subClassOf", "?/c"),
+            ],
+        },
+        {
+            "name": "rdfs9",
+            "head": [("?/x", "rdf/type", "?/c")],
+            "body": [("?/x", "rdf/type", "?/b"), ("?/b", "rdfs/subClassOf", "?/c")],
+        },
+        {
+            "name": "tag",  # exercises reify + filter round-trip
+            "head": [("?/node", "ex/tagged", "?/name")],
+            "body": [
+                ("?/x", "foaf/name", "?/name"),
+                (":regex", "?/name", ["^R"]),
+            ],
+            "reify": [
+                {"var": "?/node", "ln": ("md5", "?/name"), "ns": "ex", "prefix": "T_"}
+            ],
+        },
+    ]
+    d = tmp_path / "rules"
+    d.mkdir()
+    for i, r in enumerate(rules):
+        (d / f"{i:02d}_{r['name']}.json").write_text(dump_rule_json(r))
+
+    loaded = load_rules(str(d))
+    assert [r["name"] for r in loaded] == ["rdfs11", "rdfs9", "tag"]
+
+    kb.add_statements(fixture)
+    run_rules_to_fixpoint(kb, loaded)
+
+    kb2 = KB(spark)
+    kb2.add_statements(fixture)
+    from kr_spark.operators.rules import run_rules_to_fixpoint as rrf
+
+    rrf(kb2, rules)
+
+    cols = ["s_kind", "s", "p", "o_kind", "o"]
+    a, b = kb.df().select(*cols), kb2.df().select(*cols)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+    assert kb.ask_rdf("ex/rex", "rdf/type", "ex/Animal")
+    assert kb.ask_rdf(None, "ex/tagged", "Rex")  # default-lang literal
+
+
+def test_rule_loader_path_canonicalization(tmp_path):
+    from kr_spark.operators.rule_loader import load_rule_file
+
+    (tmp_path / "r.json").write_text(
+        """
+        {"name": "paths",
+         "head": [["?/x", "ex/reach", "?/y"]],
+         "body": [["?/x", ["ex/knows", "+"], "?/y"],
+                  ["?/x", [":or", "ex/a", [":inverse", "ex/b"]], "?/z"],
+                  ["?/x", ["ex/p", "ex/q"], "?/w"],
+                  ["?/x", "ex/lit", ["Bob", "en"]]]}
+        """
+    )
+    (r,) = load_rule_file(str(tmp_path / "r.json"))
+    body = r["body"]
+    assert body[0][1] == ["ex/knows", "+"]              # modifier stays list
+    assert body[1][1] == (":or", "ex/a", (":inverse", "ex/b"))
+    assert body[2][1] == ("ex/p", "ex/q")               # sequence -> tuple
+    assert body[3][2] == ["Bob", "en"]                  # boxed literal stays
