@@ -161,6 +161,12 @@ def main() -> None:
         help="comma-separated core counts for the scaling run (N,4N)",
     )
     ap.add_argument(
+        "--passes",
+        type=int,
+        default=2,
+        help="measurement passes per query in default mode; min is reported",
+    )
+    ap.add_argument(
         "--n-convs",
         type=int,
         default=None,
@@ -217,19 +223,39 @@ def main() -> None:
         )
         return
 
+    _wait_quiesce()
     spark = make_spark(args.cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    queries: dict[str, float] = {}
-    t_total0 = time.time()
+    # Warm-up (same protocol as --scaling, and now the default — BASELINE.md
+    # figures are measured with this exact path): a miniature pipeline pass
+    # plus one derived-triple query absorb JVM startup, janino codegen and
+    # Python-worker forks, so the timed section measures plan cost instead of
+    # session bring-up. Without this a cold run reads ~1.5-2x slower and is
+    # not comparable across rounds.
+    bench_kg_pipeline(spark, args.sf_dir, n_convs=400)
+    run_queries(spark, args.sf_dir, ["q_count_pattern", "q_lang_id"])
 
-    dt, n_turns, n_triples = bench_kg_pipeline(spark, args.sf_dir)
+    # Best-of-N per query (default 2 passes): single readings on this box
+    # swing up to 3x from GC/fork/virtio noise even on an idle machine —
+    # the min of two passes is the reproducible plan-cost figure and is the
+    # number BASELINE.md records.
+    queries: dict[str, float] = {}
+    kg_best = None
+    for _ in range(max(1, args.passes)):
+        dt, n_turns, n_triples = bench_kg_pipeline(spark, args.sf_dir)
+        if kg_best is None or dt < kg_best[0]:
+            kg_best = (dt, n_turns, n_triples)
+        for name, sec in run_queries(
+            spark, args.sf_dir, [q for q in BENCH_QUERIES if q != "q_kg_pipeline"]
+        ).items():
+            if name not in queries or sec < queries[name]:
+                queries[name] = sec
+    dt, n_turns, n_triples = kg_best
     queries["kg_pipeline"] = round(dt, 3)
     tps = round(n_triples / dt, 1)
 
-    queries.update(run_queries(spark, args.sf_dir, [q for q in BENCH_QUERIES if q != "q_kg_pipeline"]))
-
-    total = round(time.time() - t_total0, 3)
+    total = round(sum(queries.values()), 3)
     print(
         json.dumps(
             {
