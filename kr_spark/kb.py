@@ -450,3 +450,27 @@ class KB:
         from kr_spark.sources.ntriples import load_ntriples
 
         load_ntriples(self, path_or_text)
+
+    def load_rdf(self, path_or_text: str, fmt: str = "ntriples") -> None:
+        """Format-dispatched RDF load (S2, rdf.clj:539-547 format keywords):
+        ntriples | turtle | n3 | trig | rdfxml | trix."""
+        fmt = fmt.lower().replace("-", "").replace("/", "")
+        if fmt in ("ntriple", "ntriples", "nt"):
+            return self.load_ntriples(path_or_text)
+        if fmt in ("turtle", "ttl", "n3"):
+            from kr_spark.sources.turtle import load_turtle
+
+            return load_turtle(self, path_or_text)
+        if fmt == "trig":
+            from kr_spark.sources.turtle import load_trig
+
+            return load_trig(self, path_or_text)
+        if fmt in ("rdfxml", "xml"):
+            from kr_spark.sources.xml_formats import load_rdfxml
+
+            return load_rdfxml(self, path_or_text)
+        if fmt == "trix":
+            from kr_spark.sources.xml_formats import load_trix
+
+            return load_trix(self, path_or_text)
+        raise ValueError(f"unknown RDF format {fmt!r}")

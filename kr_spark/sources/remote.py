@@ -1,0 +1,147 @@
+"""Remote SPARQL endpoint connector (S3; sesame/kb.clj:222-235, example
+kr-examples/sesame-remote-kb/.../sesame_remote_kb.clj:12-16).
+
+Like the reference, queries EXECUTE SERVER-SIDE: the native pattern
+s-expression compiles to a SPARQL string (plans/sparql_emit.py — the same
+compile direction as the reference's sparql.clj) and crosses the network;
+SPARQL 1.1 JSON results come back as binding dicts of Term values, the same
+result shape as the local KB.query. No Spark executors are involved — a
+remote endpoint is a driver-side resource, exactly as in the reference
+(per-connection `pmap` fan-out is the reference's only parallelism here;
+`pmap_query` on the local KB plays that role).
+
+Standard-library HTTP (urllib) only; Accept negotiation per the SPARQL 1.1
+Protocol (query via form-encoded POST).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import urllib.parse
+import urllib.request
+
+from kr_spark.namespaces import NamespaceRegistry
+from kr_spark.plans.sparql_emit import emit_ask, emit_construct, emit_count, emit_select
+from kr_spark.terms import Term
+
+_JSON_ACCEPT = "application/sparql-results+json"
+
+
+def _term_from_json(b: dict) -> Term:
+    t = b.get("type")
+    if t == "uri":
+        return Term("uri", b["value"])
+    if t == "bnode":
+        return Term("bnode", b["value"])
+    # literal (SPARQL JSON also uses legacy "typed-literal")
+    return Term(
+        "literal",
+        b["value"],
+        b.get("xml:lang", "") or "",
+        b.get("datatype", "") or "",
+    )
+
+
+class RemoteSparqlKB:
+    """Read-only KB over an HTTP SPARQL endpoint (e.g. a public dataset
+    endpoint). Same query surface as the local KB for SELECT/ASK/COUNT/
+    CONSTRUCT patterns; mutation is unsupported (the reference's remote
+    repos are effectively query-only in its examples too)."""
+
+    def __init__(
+        self,
+        endpoint: str,
+        ns: NamespaceRegistry | None = None,
+        username: str | None = None,
+        password: str | None = None,
+        timeout: float = 30.0,
+        use_default_language: bool = True,
+        default_language: str = "en",
+    ) -> None:
+        self.endpoint = endpoint
+        self.ns = ns if ns is not None else NamespaceRegistry()
+        self.timeout = timeout
+        self._auth = None
+        if username is not None:
+            raw = f"{username}:{password or ''}".encode()
+            self._auth = "Basic " + base64.b64encode(raw).decode()
+        self.use_default_language = use_default_language
+        self.default_language = default_language
+
+    # term coercion shared with the local KB (pattern compilation needs it)
+    def term(self, x) -> Term:
+        from kr_spark.terms import to_term
+
+        return to_term(
+            x,
+            self.ns,
+            use_default_language=self.use_default_language,
+            default_language=self.default_language,
+        )
+
+    # ---- wire ----
+    def _http(self, query: str, accept: str = _JSON_ACCEPT) -> bytes:
+        data = urllib.parse.urlencode({"query": query}).encode()
+        req = urllib.request.Request(
+            self.endpoint,
+            data=data,
+            headers={
+                "Accept": accept,
+                "Content-Type": "application/x-www-form-urlencoded",
+            },
+            method="POST",
+        )
+        if self._auth:
+            req.add_header("Authorization", self._auth)
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            return resp.read()
+
+    def sparql_query(self, text: str) -> list[dict]:
+        payload = json.loads(self._http(text))
+        out = []
+        for row in payload["results"]["bindings"]:
+            out.append({var: _term_from_json(b) for var, b in row.items()})
+        return out
+
+    def sparql_ask(self, text: str) -> bool:
+        return bool(json.loads(self._http(text))["boolean"])
+
+    # ---- pattern surface (compiles to strings, executes remotely) ----
+    def query(
+        self,
+        pattern,
+        select_vars: list[str] | None = None,
+        distinct: bool = False,
+        limit: int | None = None,
+    ) -> list[dict]:
+        return self.sparql_query(
+            emit_select(self, pattern, select_vars=select_vars, distinct=distinct, limit=limit)
+        )
+
+    def ask(self, pattern) -> bool:
+        return self.sparql_ask(emit_ask(self, pattern))
+
+    def count(self, pattern, limit: int | None = None) -> int:
+        rows = self.sparql_query(emit_count(self, pattern, limit=limit))
+        if not rows:
+            return 0
+        (term,) = rows[0].values()
+        return int(term.v)
+
+    def construct(self, create_pattern, pattern, limit: int | None = None) -> list[tuple]:
+        """CONSTRUCT via the endpoint's SELECT interface: query the body
+        bindings remotely, instantiate templates locally (bag semantics,
+        duplicates kept — test_sparql_construct.clj:41-45)."""
+        bindings = self.query(pattern)
+        out: list[tuple] = []
+        for b in bindings:
+            for tmpl in create_pattern:
+                out.append(tuple(self._subst(x, b) for x in tmpl))
+        return out
+
+    def _subst(self, x, binding: dict):
+        t = self.term(x)
+        if t.kind == "var" and t.v in binding:
+            return binding[t.v]
+        return t

@@ -49,7 +49,7 @@ _TOKEN = re.compile(
     | (?P<pname>"""
     + _PNAME
     + r""")
-    | (?P<punct>[;,.\[\]()])
+    | (?P<punct>[;,.\[\](){}])
     | (?P<word>@?[A-Za-z][\w-]*)
     )
     """,
@@ -74,13 +74,20 @@ def _tokenize(text: str) -> list[str]:
 
 
 class _TurtleParser:
-    def __init__(self, text: str, prefixes: dict[str, str] | None = None):
+    """Also parses TriG (trig=True): Turtle plus named-graph blocks —
+    `<g> { ... }`, `GRAPH <g> { ... }`, and `{ ... }` for the default graph
+    (reference loads TRIG via the same Jena/Sesame format map,
+    rdf.clj:539-547). Graph membership lands in the `graph` column."""
+
+    def __init__(self, text: str, prefixes: dict[str, str] | None = None, trig: bool = False):
         self.toks = _tokenize(text)
         self.pos = 0
         self.prefixes: dict[str, str] = dict(prefixes or {})
         self.base = ""
         self.rows: list[tuple] = []
         self._anon = 0
+        self.trig = trig
+        self.cur_graph: str | None = None
 
     # ---- token helpers ----
     def peek(self) -> str | None:
@@ -121,16 +128,40 @@ class _TurtleParser:
                     self.eat(".")
                 elif self.peek() == ".":
                     self.next()
+            elif self.trig and (
+                t == "{"
+                or low == "graph"
+                or (t not in ("[",) and self._peek2() == "{")
+            ):
+                self._graph_block()
             else:
                 self._statement()
         return self.rows
 
-    def _statement(self) -> None:
+    def _peek2(self) -> str | None:
+        return self.toks[self.pos + 1] if self.pos + 1 < len(self.toks) else None
+
+    def _graph_block(self) -> None:
+        if self.peek().lower() == "graph":
+            self.next()
+        if self.peek() != "{":
+            self.cur_graph = self._iri_term(self.next())
+        else:
+            self.cur_graph = None  # default-graph block
+        self.eat("{")
+        while self.peek() != "}":
+            self._statement(in_block=True)
+        self.eat("}")
+        self.cur_graph = None
+
+    def _statement(self, in_block: bool = False) -> None:
         was_bnode_list = self.peek() == "["
         s_kind, s = self._subject()
         # `[ p o ] .` — a blankNodePropertyList alone is a complete statement
-        if not (was_bnode_list and self.peek() == "."):
+        if not (was_bnode_list and self.peek() in (".", "}")):
             self._predicate_object_list(s_kind, s)
+        if in_block and self.peek() == "}":
+            return  # trailing '.' is optional before '}'
         self.eat(".")
 
     def _subject(self) -> tuple[str, str]:
@@ -153,8 +184,8 @@ class _TurtleParser:
                 break
             if self.peek() == ";":
                 self.next()
-                # trailing ';' before '.' or ']' is legal Turtle
-                if self.peek() in (".", "]", None):
+                # trailing ';' before '.' / ']' / '}' is legal Turtle/TriG
+                if self.peek() in (".", "]", "}", None):
                     return
                 continue
             return
@@ -242,7 +273,7 @@ class _TurtleParser:
     def _emit(self, s_kind, s, p, o_kind, o, o_lang, o_dt) -> None:
         num = Decimal(o) if (o_dt in _NUMERIC_DT) else None
         self.rows.append(
-            (s_kind, s, p, o_kind, o, o_lang, o_dt, num, None, None, None, None)
+            (s_kind, s, p, o_kind, o, o_lang, o_dt, num, self.cur_graph, None, None, None)
         )
 
 
@@ -251,6 +282,47 @@ def parse_turtle_rows(
 ) -> list[tuple]:
     """Turtle document text -> list of TRIPLE_SCHEMA-shaped tuples."""
     return _TurtleParser(text, prefixes).parse()
+
+
+def parse_trig_rows(
+    text: str, prefixes: dict[str, str] | None = None
+) -> list[tuple]:
+    """TriG document text (Turtle + named-graph blocks) -> TRIPLE_SCHEMA
+    tuples with the `graph` column populated per block."""
+    return _TurtleParser(text, prefixes, trig=True).parse()
+
+
+def parse_n3_rows(
+    text: str, prefixes: dict[str, str] | None = None
+) -> list[tuple]:
+    """N3 documents, restricted to its RDF subset (which is Turtle — the
+    reference's loaders treat N3 this way too: Jena maps :n3 to the Turtle
+    family, jena/rdf.clj:343-351). Formulae/rules syntax ({ } => { }) is
+    out of scope and fails with a parse error."""
+    return _TurtleParser(text, prefixes).parse()
+
+
+def load_trig(kb, path_or_text: str) -> None:
+    """Load TriG into the KB (quads land in their named graphs)."""
+    spark = kb.spark
+    stripped = path_or_text.strip()
+    if "\n" in path_or_text or stripped.startswith(("@prefix", "@base", "<", "PREFIX", "BASE", "{", "GRAPH")):
+        rows = parse_trig_rows(path_or_text, dict(kb.ns.short_to_long))
+        kb.add_rows(spark.createDataFrame(rows, TRIPLE_SCHEMA))
+    else:
+        docs = spark.read.text(path_or_text, wholetext=True)
+        cols = TRIPLE_SCHEMA.fieldNames()
+
+        def gen(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                rows: list[tuple] = []
+                for txt in pdf["value"]:
+                    rows.extend(parse_trig_rows(txt))
+                yield pd.DataFrame(rows, columns=cols)
+
+        kb.add_rows(docs.select("value").mapInPandas(gen, schema=TRIPLE_SCHEMA))
 
 
 def parse_turtle_df(spark, docs_df: DataFrame, text_col: str = "value") -> DataFrame:

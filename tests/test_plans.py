@@ -99,3 +99,49 @@ def test_broadcast_join_for_small_pattern_side(ekb):
     )
     assert "CartesianProduct" not in plan
     assert ("Join" in plan) or ("join" in plan)
+
+
+# ---- PAIP unifier (U1; unify.clj:28-60, 85-107) ----
+
+
+def test_unify_basics(kb):
+    from kr_spark.plans.unify import unify, subst_bindings, unifier
+
+    # triple-pattern against ground triple
+    b = unify(kb, ("?/x", "foaf/knows", "?/y"), ("ex/a", "foaf/knows", "ex/b"))
+    assert b is not None
+    assert kb.term(b["x"]) == kb.term("ex/a")
+    assert kb.term(b["y"]) == kb.term("ex/b")
+    # conflicting rebinding fails
+    assert unify(kb, ("?/x", "?/x"), ("ex/a", "ex/b")) is None
+    # var-var chain resolves through substitution
+    b = unify(kb, ("?/x", "?/x"), ("?/y", "ex/a"))
+    assert kb.term(subst_bindings(kb, "?/x", b)) == kb.term("ex/a")
+    # constants unify by sameTerm equality (incl. literal lang)
+    assert unify(kb, ["Bob", "en"], ["Bob", "en"]) is not None
+    assert unify(kb, ["Bob", "en"], ["Bob"]) is None
+    # length mismatch / constant mismatch
+    assert unify(kb, ("ex/a", "ex/b"), ("ex/a",)) is None
+    assert unify(kb, "ex/a", "ex/b") is None
+    # unifier applies the substitution
+    out = unifier(kb, ("?/x", "foaf/knows", "ex/b"), ("ex/a", "foaf/knows", "?/z"))
+    assert [kb.term(t).v.rsplit("/", 1)[-1] for t in out] == ["a", "knows", "b"]
+
+
+def test_unify_occurs_check(kb):
+    from kr_spark.plans.unify import unify
+
+    # ?x against a tree containing ?x must fail (occurs check, unify.clj:49-57)
+    assert unify(kb, "?/x", ("ex/f", "?/x")) is None
+    # and through a chain: ?x = ?y, then ?y against tree containing ?x
+    b = unify(kb, "?/x", "?/y")
+    assert unify(kb, "?/y", ("ex/f", "?/x"), b) is None
+
+
+def test_subst_bindings_nested(kb):
+    from kr_spark.plans.unify import subst_bindings
+
+    tmpl = [("?/who", "rdf/type", "ex/Person"), ("?/who", "ex/knows", ("?/who", "?/other"))]
+    out = subst_bindings(kb, tmpl, {"who": "ex/alice", "other": "ex/bob"})
+    assert out[0][0] == "ex/alice"
+    assert out[1][2] == ["ex/alice", "ex/bob"]

@@ -119,3 +119,124 @@ def test_load_turtle_files_distributed(kb, spark, tmp_path):
     load_turtle(kb, str(p))
     assert kb.size() == 3
     assert kb.ask_rdf("ex/s1", "ex/p", ["v1"])
+
+
+# ---- TriG (Turtle + named graphs; rdf.clj:539-547 :trig) ----
+
+TRIG = """
+@prefix ex: <http://www.example.org/> .
+ex:default1 ex:p "d1" .
+ex:g1 { ex:a ex:p "in-g1" . ex:b ex:p "also-g1" }
+GRAPH ex:g2 { ex:a ex:p "in-g2" . }
+{ ex:default2 ex:p "d2" . }
+"""
+
+
+def test_parse_trig_graph_blocks(kb):
+    from kr_spark.sources.turtle import parse_trig_rows
+
+    rows = parse_trig_rows(TRIG)
+    graphs = {(r[4], r[8]) for r in rows}
+    assert ("d1", None) in graphs and ("d2", None) in graphs
+    assert ("in-g1", "http://www.example.org/g1") in graphs
+    assert ("also-g1", "http://www.example.org/g1") in graphs
+    assert ("in-g2", "http://www.example.org/g2") in graphs
+
+
+def test_load_trig_graph_scoped_query(kb):
+    kb.load_rdf(TRIG, fmt="trig")
+    # GRAPH-scoped pattern sees only g1 triples
+    res = kb.query([("?/s", "ex/p", "?/v", "ex/g1")])
+    assert {b["v"].v for b in res} == {"in-g1", "also-g1"}
+    # unscoped sees everything (quad-store union visibility)
+    assert kb.count([("?/s", "ex/p", "?/v")]) == 5
+
+
+# ---- RDF/XML (rdf.clj:539-547 :rdfxml) ----
+
+RDFXML = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:foaf="http://xmlns.com/foaf/0.1/"
+         xmlns:ex="http://www.example.org/">
+  <foaf:Person rdf:about="http://www.example.org/a" ex:nick="Al">
+    <foaf:name xml:lang="en">Alice</foaf:name>
+    <foaf:age rdf:datatype="http://www.w3.org/2001/XMLSchema#integer">40</foaf:age>
+    <foaf:knows rdf:resource="http://www.example.org/b"/>
+    <foaf:based_near rdf:parseType="Resource">
+      <ex:lat>52.3</ex:lat>
+    </foaf:based_near>
+  </foaf:Person>
+  <rdf:Description rdf:nodeID="bn1">
+    <foaf:name>Shadow</foaf:name>
+  </rdf:Description>
+  <rdf:Description rdf:about="http://www.example.org/c">
+    <foaf:knows>
+      <foaf:Person rdf:about="http://www.example.org/a"/>
+    </foaf:knows>
+  </rdf:Description>
+</rdf:RDF>
+"""
+
+
+def test_load_rdfxml(kb):
+    kb.load_rdf(RDFXML, fmt="rdfxml")
+    # typed node element -> rdf:type
+    assert kb.ask_rdf("ex/a", "rdf/type", "foaf/Person")
+    # lang literal + typed literal (value-space numeric match)
+    assert kb.ask_rdf("ex/a", "foaf/name", ["Alice", "en"])
+    assert len(kb.query([("ex/a", "foaf/age", 40)])) == 1
+    # resource object + nested node element
+    assert kb.ask_rdf("ex/a", "foaf/knows", "ex/b")
+    assert kb.ask_rdf("ex/c", "foaf/knows", "ex/a")
+    # property attribute
+    assert kb.ask_rdf("ex/a", "ex/nick", ["Al"])
+    # parseType=Resource -> bnode with nested property
+    res = kb.query([("ex/a", "foaf/based_near", "?/n"), ("?/n", "ex/lat", "?/v")])
+    assert len(res) == 1 and res[0]["v"].v == "52.3"
+    # nodeID bnode subject
+    assert kb.ask_rdf(None, "foaf/name", ["Shadow"])
+
+
+# ---- TriX (rdf.clj:539-547 :trix) ----
+
+TRIX = """<?xml version="1.0"?>
+<TriX xmlns="http://www.w3.org/2004/03/trix/trix-1/"
+      xmlns:xml="http://www.w3.org/XML/1998/namespace">
+  <graph>
+    <triple>
+      <uri>http://www.example.org/a</uri>
+      <uri>http://xmlns.com/foaf/0.1/name</uri>
+      <plainLiteral xml:lang="en">Alice</plainLiteral>
+    </triple>
+  </graph>
+  <graph>
+    <uri>http://www.example.org/g1</uri>
+    <triple>
+      <uri>http://www.example.org/a</uri>
+      <uri>http://www.example.org/p</uri>
+      <typedLiteral datatype="http://www.w3.org/2001/XMLSchema#integer">7</typedLiteral>
+    </triple>
+    <triple>
+      <id>bn1</id>
+      <uri>http://www.example.org/p</uri>
+      <uri>http://www.example.org/b</uri>
+    </triple>
+  </graph>
+</TriX>
+"""
+
+
+def test_load_trix(kb):
+    kb.load_rdf(TRIX, fmt="trix")
+    assert kb.ask_rdf("ex/a", "foaf/name", ["Alice", "en"])
+    res = kb.query([("ex/a", "ex/p", 7, "ex/g1")])
+    assert len(res) == 1
+    # bnode subject quad in g1
+    res = kb.query([("?/s", "ex/p", "ex/b", "ex/g1")])
+    assert len(res) == 1
+
+
+def test_load_rdf_format_dispatch_files(kb, spark, tmp_path):
+    (tmp_path / "x.rdf").write_text(RDFXML)
+    kb.load_rdf(str(tmp_path / "x.rdf"), fmt="rdf/xml")
+    assert kb.ask_rdf("ex/a", "rdf/type", "foaf/Person")
