@@ -1,0 +1,152 @@
+"""Backend-inference counterpart (K9 / missing-surface #6): `*use-inference*`
+with `:rdfs` / `:owl` model levels (rdf.clj:18; jena/kb.clj:16 model types;
+sesame/sparql.clj:131 `setIncludeInferred`).
+
+The reference delegates entailment to the store's reasoner; this engine's
+stance (SURVEY §2.8 K9) is entailment-as-forward-rules run to fixpoint —
+one materialization job instead of per-query reasoning, which is the only
+shape that survives 100 TB (query-time backward chaining re-derives the
+same closure on every BGP).
+
+Two built-in rule sets, expressed in the engine's own rule format (so they
+also serialize through operators/rule_loader.py):
+  RDFS_RULES    — the useful core of the RDFS entailment regime:
+                  rdfs2 (domain), rdfs3 (range), rdfs5 (subPropertyOf
+                  transitivity), rdfs7 (subPropertyOf inheritance),
+                  rdfs9 (type inheritance), rdfs11 (subClassOf transitivity)
+  OWL_RL_RULES  — the RL subset that matters for KG canonicalization:
+                  sameAs symmetry/transitivity + subject/object rewrite,
+                  inverseOf (both directions), SymmetricProperty,
+                  TransitiveProperty, equivalentClass/equivalentProperty
+                  (as mutual subsumption)
+
+`materialize_entailments(kb, level)` runs the chosen set to fixpoint
+(operators/rules.run_rules_to_fixpoint — semi-naive, set-semantics adds).
+"""
+
+from __future__ import annotations
+
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+OWL = "http://www.w3.org/2002/07/owl#"
+
+_TYPE = f"<{RDF}type>"
+_SUBC = f"<{RDFS}subClassOf>"
+_SUBP = f"<{RDFS}subPropertyOf>"
+_DOM = f"<{RDFS}domain>"
+_RANGE = f"<{RDFS}range>"
+_SAME = f"<{OWL}sameAs>"
+_INV = f"<{OWL}inverseOf>"
+_EQC = f"<{OWL}equivalentClass>"
+_EQP = f"<{OWL}equivalentProperty>"
+
+RDFS_RULES: list[dict] = [
+    {
+        "name": "rdfs2-domain",
+        "head": [("?/x", _TYPE, "?/c")],
+        "body": [("?/p", _DOM, "?/c"), ("?/x", "?/p", "?/y")],
+    },
+    {
+        "name": "rdfs3-range",
+        "head": [("?/y", _TYPE, "?/c")],
+        "body": [("?/p", _RANGE, "?/c"), ("?/x", "?/p", "?/y"), (":isIRI", "?/y")],
+    },
+    {
+        "name": "rdfs5-subprop-trans",
+        "head": [("?/p", _SUBP, "?/r")],
+        "body": [("?/p", _SUBP, "?/q"), ("?/q", _SUBP, "?/r")],
+    },
+    {
+        "name": "rdfs7-subprop-inherit",
+        "head": [("?/x", "?/q", "?/y")],
+        "body": [("?/p", _SUBP, "?/q"), ("?/x", "?/p", "?/y"), (":isIRI", "?/q")],
+    },
+    {
+        "name": "rdfs9-type-inherit",
+        "head": [("?/x", _TYPE, "?/c")],
+        "body": [("?/x", _TYPE, "?/b"), ("?/b", _SUBC, "?/c")],
+    },
+    {
+        "name": "rdfs11-subclass-trans",
+        "head": [("?/a", _SUBC, "?/c")],
+        "body": [("?/a", _SUBC, "?/b"), ("?/b", _SUBC, "?/c")],
+    },
+]
+
+OWL_RL_RULES: list[dict] = [
+    {
+        "name": "eq-sym",
+        "head": [("?/y", _SAME, "?/x")],
+        "body": [("?/x", _SAME, "?/y")],
+    },
+    {
+        "name": "eq-trans",
+        "head": [("?/x", _SAME, "?/z")],
+        "body": [("?/x", _SAME, "?/y"), ("?/y", _SAME, "?/z")],
+    },
+    {
+        "name": "eq-rep-s",
+        "head": [("?/x2", "?/p", "?/o")],
+        "body": [("?/x", _SAME, "?/x2"), ("?/x", "?/p", "?/o")],
+    },
+    {
+        "name": "eq-rep-o",
+        "head": [("?/s", "?/p", "?/o2")],
+        "body": [("?/o", _SAME, "?/o2"), ("?/s", "?/p", "?/o"), (":isIRI", "?/o")],
+    },
+    {
+        "name": "prp-inv1",
+        "head": [("?/y", "?/q", "?/x")],
+        "body": [("?/p", _INV, "?/q"), ("?/x", "?/p", "?/y")],
+    },
+    {
+        "name": "prp-inv2",
+        "head": [("?/y", "?/p", "?/x")],
+        "body": [("?/p", _INV, "?/q"), ("?/x", "?/q", "?/y")],
+    },
+    {
+        "name": "prp-symp",
+        "head": [("?/y", "?/p", "?/x")],
+        "body": [
+            ("?/p", _TYPE, f"<{OWL}SymmetricProperty>"),
+            ("?/x", "?/p", "?/y"),
+        ],
+    },
+    {
+        "name": "prp-trp",
+        "head": [("?/x", "?/p", "?/z")],
+        "body": [
+            ("?/p", _TYPE, f"<{OWL}TransitiveProperty>"),
+            ("?/x", "?/p", "?/y"),
+            ("?/y", "?/p", "?/z"),
+        ],
+    },
+    {
+        "name": "cax-eqc1",
+        "head": [("?/c1", _SUBC, "?/c2"), ("?/c2", _SUBC, "?/c1")],
+        "body": [("?/c1", _EQC, "?/c2")],
+    },
+    {
+        "name": "cax-eqp1",
+        "head": [("?/p1", _SUBP, "?/p2"), ("?/p2", _SUBP, "?/p1")],
+        "body": [("?/p1", _EQP, "?/p2")],
+    },
+]
+
+
+def entailment_rules(level: str) -> list[dict]:
+    level = level.lower().lstrip(":")
+    if level == "rdfs":
+        return list(RDFS_RULES)
+    if level in ("owl", "owl-rl", "owlrl"):
+        return list(RDFS_RULES) + list(OWL_RL_RULES)
+    raise ValueError(f"unknown inference level {level!r} (rdfs | owl)")
+
+
+def materialize_entailments(kb, level: str = "rdfs", max_rounds: int = 30) -> int:
+    """Run the level's rule set to fixpoint on the KB; returns rounds used.
+    Idempotent (set-semantics adds), so calling again after new ground facts
+    arrive is the incremental-maintenance path."""
+    from kr_spark.operators.rules import run_rules_to_fixpoint
+
+    return run_rules_to_fixpoint(kb, entailment_rules(level), max_rounds=max_rounds)

@@ -182,12 +182,23 @@ def count_forward_rule(kb, rule) -> int:
 def run_rules_to_fixpoint(kb, rules: list[dict], max_rounds: int = 25) -> int:
     """RDFS-style entailment as forward rules run to fixpoint (K9 stance:
     we do NOT embed an OWL reasoner; entailment rules are ordinary forward
-    rules iterated until no rule adds a triple — SURVEY §2.8 K9)."""
+    rules iterated until no rule adds a triple — SURVEY §2.8 K9).
+
+    All rules of a round derive against the round-start KB and land as ONE
+    batched set-semantics add (3 Spark actions per round instead of 3 per
+    rule per round — with entailment-sized rule sets that is the difference
+    between seconds and minutes). Same fixpoint as rule-at-a-time: a rule
+    seeing a same-round derivation one round later only delays, never
+    changes, the monotone closure."""
     total = 0
     for _ in range(max_rounds):
-        added = 0
+        derived = None
         for r in rules:
-            added += run_forward_rule(kb, r, kb)
+            head = rule_head_df(kb, r)
+            derived = head if derived is None else derived.unionByName(head)
+        before = kb.size()
+        kb.add_rows(derived)
+        added = kb.size() - before
         total += added
         if added == 0:
             return total

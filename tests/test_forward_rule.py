@@ -473,3 +473,56 @@ def test_rule_loader_path_canonicalization(tmp_path):
     assert body[1][1] == (":or", "ex/a", (":inverse", "ex/b"))
     assert body[2][1] == ("ex/p", "ex/q")               # sequence -> tuple
     assert body[3][2] == ["Bob", "en"]                  # boxed literal stays
+
+
+def test_rdfs_entailment_level(kb):
+    # K9 / *use-inference* :rdfs (jena/kb.clj:16): materialized RDFS closure
+    from kr_spark.operators.entailment import materialize_entailments
+
+    kb.add_statements(
+        [
+            ("ex/Dog", "rdfs/subClassOf", "ex/Mammal"),
+            ("ex/Mammal", "rdfs/subClassOf", "ex/Animal"),
+            ("ex/hasPet", "rdfs/domain", "ex/Person"),
+            ("ex/hasPet", "rdfs/range", "ex/Animal"),
+            ("ex/hasDog", "rdfs/subPropertyOf", "ex/hasPet"),
+            ("ex/alice", "ex/hasDog", "ex/rex"),
+        ]
+    )
+    materialize_entailments(kb, "rdfs")
+    # rdfs7: hasDog => hasPet
+    assert kb.ask_rdf("ex/alice", "ex/hasPet", "ex/rex")
+    # rdfs2/3 through the inherited property
+    assert kb.ask_rdf("ex/alice", "rdf/type", "ex/Person")
+    assert kb.ask_rdf("ex/rex", "rdf/type", "ex/Animal")
+    # rdfs11 transitivity
+    assert kb.ask_rdf("ex/Dog", "rdfs/subClassOf", "ex/Animal")
+
+
+def test_owl_rl_entailment_level(kb):
+    from kr_spark.operators.entailment import materialize_entailments
+
+    kb.add_statements(
+        [
+            ("ex/a", "owl/sameAs", "ex/b"),
+            ("ex/b", "owl/sameAs", "ex/c"),
+            ("ex/a", "ex/worksAt", "ex/acme"),
+            ("ex/parentOf", "owl/inverseOf", "ex/childOf"),
+            ("ex/p1", "ex/parentOf", "ex/k1"),
+            ("ex/near", "rdf/type", "owl/SymmetricProperty"),
+            ("ex/x", "ex/near", "ex/y"),
+            ("ex/in", "rdf/type", "owl/TransitiveProperty"),
+            ("ex/q1", "ex/in", "ex/q2"),
+            ("ex/q2", "ex/in", "ex/q3"),
+            ("ex/C1", "owl/equivalentClass", "ex/C2"),
+            ("ex/i", "rdf/type", "ex/C1"),
+        ]
+    )
+    materialize_entailments(kb, "owl")
+    assert kb.ask_rdf("ex/c", "owl/sameAs", "ex/a")     # sym+trans
+    assert kb.ask_rdf("ex/b", "ex/worksAt", "ex/acme")  # sameAs rewrite
+    assert kb.ask_rdf("ex/c", "ex/worksAt", "ex/acme")
+    assert kb.ask_rdf("ex/k1", "ex/childOf", "ex/p1")   # inverseOf
+    assert kb.ask_rdf("ex/y", "ex/near", "ex/x")        # symmetric
+    assert kb.ask_rdf("ex/q1", "ex/in", "ex/q3")        # transitive
+    assert kb.ask_rdf("ex/i", "rdf/type", "ex/C2")      # equivalentClass
