@@ -94,6 +94,35 @@ def _consume(df) -> int:
     return df.count()
 
 
+def _host_health(n_procs: int = 8) -> dict:
+    """Raw CPU capacity probe (no Spark): single-thread and n-proc md5
+    rates. The virtualized host's effective capacity FLUCTUATES (observed:
+    identical pipeline runs 179 s vs 1153 s an hour apart while /proc/stat
+    reads idle and steal stays <5%) — a scaling-efficiency reading is only
+    meaningful when the probe reads comparably before both configs, so the
+    probe rides along in the scaling JSON."""
+    import hashlib
+    from multiprocessing import Pool
+
+    def _work(_n):
+        h = b"x"
+        t0 = time.time()
+        for _ in range(1_000_000):
+            h = hashlib.md5(h).digest()
+        return time.time() - t0
+
+    t_single = _work(0)
+    with Pool(n_procs) as p:
+        t0 = time.time()
+        p.map(_work, range(n_procs))
+        wall = time.time() - t0
+    return {
+        "md5_mops_single": round(1.0 / t_single, 2),
+        f"md5_mops_{n_procs}proc": round(n_procs / wall, 2),
+        "parallel_eff": round((n_procs / wall) / (n_procs / t_single), 2),
+    }
+
+
 def bench_kg_pipeline(spark, sf_dir: str, n_convs: int | None = None) -> tuple[float, int, int]:
     """-> (seconds, n_turns, n_triples). Input sized from documents rows
     unless n_convs is given explicitly (scaling runs use a fixed larger
@@ -185,9 +214,11 @@ def main() -> None:
         # real-idle quiesce gate + warm-up pass per session (JVM/codegen/
         # Python-worker startup)
         best: dict[int, tuple] = {}
+        health: dict[str, dict] = {}
         for _round in range(2):
             for cpus in (lo, hi):
                 _wait_quiesce()
+                health[f"round{_round}_local{cpus}"] = _host_health()
                 spark = make_spark(cpus)
                 spark.sparkContext.setLogLevel("ERROR")
                 bench_kg_pipeline(
@@ -217,6 +248,7 @@ def main() -> None:
                     "n_turns": n_convs * 8,
                     f"local{lo}": results[lo],
                     f"local{hi}": results[hi],
+                    "host_health": health,
                     "sf": sf,
                 }
             )

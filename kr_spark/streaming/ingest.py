@@ -57,6 +57,84 @@ def stream_extract_to_parquet(
     )
 
 
+ASSEMBLED_SCHEMA = "conv_id string, n_turns int, first_ts long, last_ts long, text string"
+_STATE_SCHEMA = "idxs array<int>, texts array<string>, first_ts long, last_ts long"
+
+
+def assemble_conversations_stateful(
+    transcript_stream: DataFrame,
+    turns_per_conv: int = 8,
+    idle_timeout_ms: int | None = None,
+):
+    """Custom stateful streaming operator (applyInPandasWithState): a
+    conversation assembler. Turns for one conv_id may arrive across many
+    micro-batches; per-key state accumulates (turn_idx, text, ts) pairs and
+    emits ONE assembled-conversation row (turns sorted by turn_idx, text
+    newline-joined) when the conversation completes — `turns_per_conv`
+    reached — or, with `idle_timeout_ms`, when the key goes idle.
+
+    This is the streaming front half of the KG pipeline: assembled rows feed
+    the same extractors the batch path uses. State is bounded per key
+    (one array of turns) and dropped at emission; completion-based emission
+    is deterministic under replay, so the operator is exactly-once under
+    checkpointing.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        conv_id = key[0]
+        if state.hasTimedOut:
+            idxs, texts, first_ts, last_ts = state.get
+            state.remove()
+            yield _assembled(pd, conv_id, idxs, texts, first_ts, last_ts)
+            return
+        idxs, texts, first_ts, last_ts = (
+            state.get if state.exists else ([], [], None, None)
+        )
+        idxs, texts = list(idxs), list(texts)
+        for pdf in pdf_iter:
+            for _, row in pdf.iterrows():
+                idxs.append(int(row["turn_idx"]))
+                texts.append(str(row["text"]))
+                ts_ms = int(pd.Timestamp(row["ts"]).value // 1_000_000)
+                first_ts = ts_ms if first_ts is None else min(first_ts, ts_ms)
+                last_ts = ts_ms if last_ts is None else max(last_ts, ts_ms)
+        if len(idxs) >= turns_per_conv:
+            state.remove()
+            yield _assembled(pd, conv_id, idxs, texts, first_ts, last_ts)
+            return
+        state.update((idxs, texts, first_ts, last_ts))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            columns=["conv_id", "n_turns", "first_ts", "last_ts", "text"]
+        )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return transcript_stream.groupBy("conv_id").applyInPandasWithState(
+        fn, ASSEMBLED_SCHEMA, _STATE_SCHEMA, "append", timeout
+    )
+
+
+def _assembled(pd, conv_id, idxs, texts, first_ts, last_ts):
+    order = sorted(range(len(idxs)), key=lambda i: idxs[i])
+    return pd.DataFrame(
+        {
+            "conv_id": [conv_id],
+            "n_turns": [len(idxs)],
+            "first_ts": [first_ts],
+            "last_ts": [last_ts],
+            "text": ["\n".join(texts[i] for i in order)],
+        }
+    )
+
+
 def windowed_turn_counts(transcript_stream: DataFrame) -> DataFrame:
     """Per-5-minute windowed turn counts by role with late-data watermark —
     the standard streaming aggregation shape over this source."""

@@ -79,3 +79,55 @@ def test_windowed_turn_counts(spark, tmp_path):
     assert got <= total
     roles = {r.role for r in spark.sql("SELECT DISTINCT role FROM wtc").collect()}
     assert roles <= {"user", "assistant", "tool"}
+
+
+def test_stateful_conversation_assembler(spark, tmp_path):
+    # applyInPandasWithState: per-conv state must persist ACROSS micro-batches
+    # (maxFilesPerTrigger=1 forces the two halves of every conversation into
+    # separate batches) and emit exactly one assembled row per conversation.
+    from kr_spark.streaming.ingest import (
+        TRANSCRIPT_DDL,
+        assemble_conversations_stateful,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    transcripts = generate_transcripts(spark, 6).cache()
+    turns_per_conv = transcripts.groupBy("conv_id").count().agg(F.max("count")).collect()[0][0]
+    # split every conversation across two files
+    transcripts.filter(F.col("turn_idx") < turns_per_conv // 2).coalesce(1).write.parquet(
+        in_dir + "/half1"
+    )
+    transcripts.filter(F.col("turn_idx") >= turns_per_conv // 2).coalesce(1).write.parquet(
+        in_dir + "/half2"
+    )
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_DDL)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(in_dir)
+    )
+    assembled = assemble_conversations_stateful(stream, turns_per_conv=turns_per_conv)
+    q = (
+        assembled.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 6  # one row per conversation, none duplicated
+    row = out.orderBy("conv_id").collect()[0]
+    assert row.n_turns == turns_per_conv
+    # text is the turn texts in turn_idx order
+    want = [
+        r.text
+        for r in transcripts.filter(F.col("conv_id") == row.conv_id)
+        .orderBy("turn_idx")
+        .collect()
+    ]
+    assert row.text.split("\n") == want
+    assert row.first_ts <= row.last_ts
