@@ -94,6 +94,17 @@ def _consume(df) -> int:
     return df.count()
 
 
+def _health_work(_n):
+    # module-level: multiprocessing pickles the function by reference
+    import hashlib
+
+    h = b"x"
+    t0 = time.time()
+    for _ in range(1_000_000):
+        h = hashlib.md5(h).digest()
+    return time.time() - t0
+
+
 def _host_health(n_procs: int = 8) -> dict:
     """Raw CPU capacity probe (no Spark): single-thread and n-proc md5
     rates. The virtualized host's effective capacity FLUCTUATES (observed:
@@ -101,20 +112,12 @@ def _host_health(n_procs: int = 8) -> dict:
     reads idle and steal stays <5%) — a scaling-efficiency reading is only
     meaningful when the probe reads comparably before both configs, so the
     probe rides along in the scaling JSON."""
-    import hashlib
     from multiprocessing import Pool
 
-    def _work(_n):
-        h = b"x"
-        t0 = time.time()
-        for _ in range(1_000_000):
-            h = hashlib.md5(h).digest()
-        return time.time() - t0
-
-    t_single = _work(0)
+    t_single = _health_work(0)
     with Pool(n_procs) as p:
         t0 = time.time()
-        p.map(_work, range(n_procs))
+        p.map(_health_work, range(n_procs))
         wall = time.time() - t0
     return {
         "md5_mops_single": round(1.0 / t_single, 2),
@@ -190,6 +193,20 @@ def main() -> None:
         help="comma-separated core counts for the scaling run (N,4N)",
     )
     ap.add_argument(
+        "--health-gate",
+        type=float,
+        default=0.0,
+        help="scaling mode: require md5_mops_8proc >= this before each timed "
+        "pass (retry up to --health-wait-s); 0 disables. The host's capacity "
+        "swings 2x between windows — gating makes the two configs comparable",
+    )
+    ap.add_argument(
+        "--health-wait-s",
+        type=int,
+        default=900,
+        help="max seconds to wait for a healthy window per measurement",
+    )
+    ap.add_argument(
         "--passes",
         type=int,
         default=2,
@@ -215,10 +232,25 @@ def main() -> None:
         # Python-worker startup)
         best: dict[int, tuple] = {}
         health: dict[str, dict] = {}
+
+        def _gated_health(tag: str) -> dict:
+            t0 = time.time()
+            h = _host_health()
+            while (
+                args.health_gate
+                and h["md5_mops_8proc"] < args.health_gate
+                and time.time() - t0 < args.health_wait_s
+            ):
+                time.sleep(45)
+                h = _host_health()
+            h["gate_waited_s"] = round(time.time() - t0, 1)
+            health[tag] = h
+            return h
+
         for _round in range(2):
             for cpus in (lo, hi):
                 _wait_quiesce()
-                health[f"round{_round}_local{cpus}"] = _host_health()
+                _gated_health(f"round{_round}_local{cpus}")
                 spark = make_spark(cpus)
                 spark.sparkContext.setLogLevel("ERROR")
                 bench_kg_pipeline(

@@ -195,6 +195,18 @@ class KB:
         self.flush()
         return self._df
 
+    def predicate_stats(self, refresh: bool = False) -> dict[str, int]:
+        """Predicate -> triple count, computed once and cached (the stats
+        table of SURVEY §4.3.1). Bounded by DISTINCT predicates — small even
+        at 100 TB (vocabularies are thousands, not billions) — so a driver
+        dict is the right shape. Refresh after bulk mutations if join
+        ordering matters; staleness only costs plan quality, never
+        correctness."""
+        if refresh or getattr(self, "_pred_stats", None) is None:
+            rows = self.df().groupBy("p").count().collect()
+            self._pred_stats = {r["p"]: r["count"] for r in rows}
+        return self._pred_stats
+
     def size(self) -> int:
         return self.df().count()
 

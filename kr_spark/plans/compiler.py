@@ -124,9 +124,15 @@ def compile_pattern(kb, clauses, graph_scope: str | None = None) -> CompiledPatt
             groups.append(payload)
 
     plans: list[CompiledPattern] = []
-    # Boundness heuristic: most-constant patterns first (SURVEY §4.3.1) —
-    # smaller intermediate results, and the narrow scans broadcast under AQE.
-    for tp in sorted(triples, key=_boundness_key):
+    # Join-order heuristic (SURVEY §4.3.1): most-constant patterns first
+    # (smaller intermediates; narrow scans broadcast under AQE), ties broken
+    # by predicate frequency when the KB has a computed stats table
+    # (kb.predicate_stats() — opt-in so compiles never trigger hidden jobs):
+    # a rare-predicate scan is more selective than a hot one at equal
+    # boundness, which matters most when a pattern touches rdf:type-scale
+    # skew. The reference delegates all of this to ARQ.
+    stats = getattr(kb, "_pred_stats", None)
+    for tp in sorted(triples, key=lambda t: _order_key(kb, t, stats)):
         plans.append(_compile_triple(kb, tp, graph_scope))
     for g in groups:
         plans.append(compile_pattern(kb, g, graph_scope))
@@ -169,6 +175,19 @@ def _boundness_key(tp) -> int:
         if not (isinstance(slot, str) and (slot.startswith("?/") or slot.startswith("_/"))):
             score -= 1  # constant slot -> more selective
     return score
+
+
+def _order_key(kb, tp, stats: dict | None) -> tuple:
+    bound = _boundness_key(tp)
+    if stats is None:
+        return (bound, 0)
+    p = tp[1]
+    if isinstance(p, (list, tuple)) or (
+        isinstance(p, str) and (p.startswith("?/") or p.startswith("_/"))
+    ):
+        # path or var predicate: frequency unknown -> order after known preds
+        return (bound, float("inf"))
+    return (bound, stats.get(kb.term(p).v, 0))
 
 
 def _slot_var(kb, x) -> Term | None:

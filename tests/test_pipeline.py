@@ -145,3 +145,21 @@ def test_pipeline_pr_without_broadcast(spark, transcripts, tmp_path, monkeypatch
     finally:
         if old is not None:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_expr_and_arrow_scorers_identical(spark, transcripts):
+    # the Catalyst scorer and the pandas-UDF seam must agree bit-for-bit on
+    # the trigram metric (same shingle definition)
+    from kr_spark.pipeline.extract import extract_relations_expr, mentions_from_extractions
+    from kr_spark.pipeline.link import (
+        lsh_candidate_pairs,
+        score_candidates_arrow,
+        score_candidates_expr,
+    )
+
+    mentions = mentions_from_extractions(extract_relations_expr(transcripts))
+    cand = lsh_candidate_pairs(mentions).cache()
+    a = score_candidates_expr(cand).withColumn("score", F.round("score", 9))
+    b = score_candidates_arrow(cand).withColumn("score", F.round("score", 9))
+    assert a.count() == b.count() and a.count() > 0
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()

@@ -145,3 +145,37 @@ def test_subst_bindings_nested(kb):
     out = subst_bindings(kb, tmpl, {"who": "ex/alice", "other": "ex/bob"})
     assert out[0][0] == "ex/alice"
     assert out[1][2] == ["ex/alice", "ex/bob"]
+
+
+def test_stats_driven_join_order(kb):
+    # SURVEY §4.3.1: with kb.predicate_stats() computed, equal-boundness
+    # patterns order rare-predicate-first, so the first join side is the
+    # most selective scan. Verified structurally: the compiled plan's FIRST
+    # scan filter is the rare predicate (plan string order).
+    kb.add_statements(
+        [("ex/hot" + str(i), "ex/hotPred", "ex/x") for i in range(50)]
+        + [("ex/hot0", "ex/rarePred", "ex/y")]
+    )
+    pattern = [
+        ("?/s", "ex/hotPred", "?/o1"),
+        ("?/s", "ex/rarePred", "?/o2"),
+    ]
+    # without stats: textual order wins (hotPred compiled first)
+    plan_nostats = kb.plan(pattern).df
+    # with stats: rarePred (1 row) must be the left/base side
+    kb.predicate_stats(refresh=True)
+    plan_stats = kb.plan(pattern).df
+    kb._pred_stats = None
+
+    def first_pred(df):
+        s = df._jdf.queryExecution().optimizedPlan().toString()
+        hot, rare = s.find("hotPred"), s.find("rarePred")
+        return "rare" if 0 <= rare < hot or hot < 0 else "hot"
+
+    assert first_pred(plan_stats) == "rare"
+    # results identical either way
+    a = {tuple(sorted((k, repr(v)) for k, v in r.items())) for r in kb.query(pattern)}
+    kb.predicate_stats(refresh=True)
+    b = {tuple(sorted((k, repr(v)) for k, v in r.items())) for r in kb.query(pattern)}
+    kb._pred_stats = None
+    assert a == b and len(a) == 1
