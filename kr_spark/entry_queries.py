@@ -997,7 +997,123 @@ FROM rel
 """
 
 
+# =====================================================================
+# SPARQL 1.1 algebra via raw strings (the reference evaluates these
+# through Jena/Sesame verbatim — sparql.clj:560-603; here the engine's own
+# parser + Catalyst plans): aggregates, MINUS, EXISTS, VALUES+BIND, ORDER
+# =====================================================================
+
+
+def q_sparql_agg(spark, sf_dir):
+    """GROUP BY + COUNT/SUM + HAVING through the raw-SPARQL surface; exact
+    cents via decimal value-space (no double drift vs the oracle)."""
+    kb = make_kb(spark, sf_dir)
+    df = kb.sparql_query_df(
+        """SELECT ?n (COUNT(?c) AS ?cnt) (SUM(?bal) AS ?total)
+           WHERE { ?c rel:inNation ?n . ?c rel:acctbal ?bal . }
+           GROUP BY ?n HAVING(?cnt >= 1)"""
+    )
+    return df.select(
+        F.col("n")["v"].alias("nat"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.round(F.col("total") * 100).cast("long").alias("total_cents"),
+    )
+
+
+def q_sparql_minus(spark, sf_dir):
+    """MINUS (SPARQL 1.1 §8.3): customers with no >400k order. The removal
+    join runs on the shared ?c binding — one shuffle, anti-join, no fanout;
+    the price filter pushes into the removal side's scan."""
+    kb = make_kb(spark, sf_dir)
+    df = kb.sparql_query_df(
+        """SELECT ?c WHERE { ?c a ty:Customer .
+             MINUS { ?o rel:by ?c . ?o rel:price ?p . FILTER(?p > 400000) } }"""
+    )
+    return df.select(F.col("c")["v"].alias("cust"))
+
+
+def q_sparql_not_exists(spark, sf_dir):
+    """FILTER NOT EXISTS: nations with no deep-debt customer (left anti
+    join; the balance filter pushes into the inner scan)."""
+    kb = make_kb(spark, sf_dir)
+    df = kb.sparql_query_df(
+        """SELECT ?n WHERE { ?n a ty:Nation .
+             FILTER NOT EXISTS { ?c a ty:Customer . ?c rel:inNation ?n .
+                                 ?c rel:acctbal ?bal . FILTER(?bal < -800) } }"""
+    )
+    return df.select(F.col("n")["v"].alias("nat"))
+
+
+def q_sparql_exists(spark, sf_dir):
+    """FILTER EXISTS with an inner FILTER: nations having a >9900-balance
+    customer (left semi join; the numeric filter pushes into the scan)."""
+    kb = make_kb(spark, sf_dir)
+    df = kb.sparql_query_df(
+        """SELECT ?n WHERE { ?n a ty:Nation .
+             FILTER EXISTS { ?c rel:inNation ?n . ?c rel:acctbal ?bal .
+                             FILTER(?bal > 9900) } }"""
+    )
+    return df.select(F.col("n")["v"].alias("nat"))
+
+
+def q_sparql_values_bind(spark, sf_dir):
+    """VALUES (broadcast inline-data join) + BIND arithmetic (§10.1/10.2)."""
+    kb = make_kb(spark, sf_dir)
+    df = kb.sparql_query_df(
+        """SELECT ?c ?cents WHERE {
+             ?c rel:inNation ?n . ?c rel:acctbal ?bal .
+             VALUES ?n { kgn:1 kgn:2 kgn:3 }
+             BIND(?bal * 100 AS ?cents) }"""
+    )
+    return df.select(
+        F.col("c")["v"].alias("cust"),
+        F.col("cents")["v"].cast("long").alias("cents"),
+    )
+
+
+def q_sparql_order_offset(spark, sf_dir):
+    """ORDER BY DESC + OFFSET + LIMIT (§15): global sort, then skip/take.
+    At scale this is a total ordering — Spark range-partitions the sort and
+    only materializes offset+limit rows via limit pushdown."""
+    kb = make_kb(spark, sf_dir)
+    df = kb.sparql_query_df(
+        """SELECT ?name WHERE { ?c a ty:Customer . ?c foaf:name ?name . }
+           ORDER BY DESC(?name) OFFSET 10 LIMIT 20"""
+    )
+    return df.select(F.col("name")["v"].alias("cname"))
+
+
 ORACLES = {
+    "q_sparql_agg": f"""
+        SELECT {_NA_C} AS nat, COUNT(*) AS cnt,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS total_cents
+        FROM customer GROUP BY c_nationkey
+    """,
+    "q_sparql_minus": f"""
+        SELECT {_CU} AS cust FROM customer
+        WHERE c_custkey NOT IN
+          (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+    """,
+    "q_sparql_not_exists": f"""
+        SELECT {_NA} AS nat FROM nation
+        WHERE n_nationkey NOT IN
+          (SELECT c_nationkey FROM customer WHERE c_acctbal < -800)
+    """,
+    "q_sparql_exists": f"""
+        SELECT {_NA} AS nat FROM nation
+        WHERE EXISTS (SELECT 1 FROM customer
+                      WHERE c_nationkey = n_nationkey AND c_acctbal > 9900)
+    """,
+    "q_sparql_values_bind": f"""
+        SELECT {_CU} AS cust,
+               CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM customer WHERE c_nationkey IN (1, 2, 3)
+    """,
+    "q_sparql_order_offset": """
+        SELECT c_name AS cname FROM customer
+        ORDER BY c_name DESC OFFSET 10 LIMIT 20
+    """,
     "q_bgp_2hop": f"""
         SELECT {_CU} AS cust, c_name AS cname
         FROM customer JOIN nation ON c_nationkey = n_nationkey
@@ -1335,6 +1451,12 @@ ORACLES = {
 
 
 QUERIES = {
+    "q_sparql_agg": q_sparql_agg,
+    "q_sparql_minus": q_sparql_minus,
+    "q_sparql_not_exists": q_sparql_not_exists,
+    "q_sparql_exists": q_sparql_exists,
+    "q_sparql_values_bind": q_sparql_values_bind,
+    "q_sparql_order_offset": q_sparql_order_offset,
     "q_ask": q_ask,
     "q_path_star": q_path_star,
     "q_path_zero_or_one": q_path_zero_or_one,

@@ -257,11 +257,13 @@ class KB:
         select_vars: list[str] | None = None,
         distinct: bool = False,
         limit: int | None = None,
+        order_by: list[tuple[str, str]] | None = None,
+        offset: int | None = None,
     ) -> list[dict]:
         """SELECT: binding maps for all (or select_vars) variables
         (sparql.clj:509-512). Bag semantics by default (*select-type* "" —
         sparql.clj:15-17)."""
-        df = self.query_df(pattern, select_vars, distinct, limit)
+        df = self.query_df(pattern, select_vars, distinct, limit, order_by, offset)
         return [self._row_to_binding(r) for r in df.collect()]
 
     def query_df(
@@ -270,6 +272,8 @@ class KB:
         select_vars: list[str] | None = None,
         distinct: bool = False,
         limit: int | None = None,
+        order_by: list[tuple[str, str]] | None = None,
+        offset: int | None = None,
     ) -> DataFrame:
         plan = self.plan(pattern)
         df = plan.df
@@ -280,9 +284,165 @@ class KB:
         df = df.select(*cols)
         if distinct:
             df = df.dropDuplicates()
+        if order_by:
+            df = df.orderBy(*self._order_cols(order_by))
+        if offset:
+            df = df.offset(offset)
         if limit is not None:
             df = df.limit(limit)
         return df
+
+    def _order_cols(self, order_by: list[tuple[str, str]]) -> list:
+        """ORDER BY keys over term-struct columns: SPARQL-ish total order —
+        unbound < numeric-by-value < everything-else-by-lexical-form
+        (SPARQL 1.1 §15.1; ties broken by full struct for determinism)."""
+        from kr_spark.terms import NUMERIC_DATATYPES
+
+        out = []
+        for ref, direction in order_by:
+            name = self.term(ref).v if "/" in str(ref) else str(ref)
+            c = F.col(name)
+            key = F.struct(
+                c.isNotNull().cast("int").alias("bound"),
+                (~c["dt"].isin(*sorted(NUMERIC_DATATYPES))).cast("int").alias("nonnum"),
+                F.when(
+                    c["dt"].isin(*sorted(NUMERIC_DATATYPES)),
+                    c["v"].cast("decimal(38,9)"),
+                ).alias("num"),
+                c["v"].alias("lex"),
+                c.alias("term"),
+            )
+            out.append(key.desc() if str(direction).lower() == "desc" else key.asc())
+        return out
+
+    def aggregate_df(
+        self,
+        pattern,
+        group_by: list[str],
+        aggs: list[tuple],
+        having=None,
+        order_by: list[tuple[str, str]] | None = None,
+        limit: int | None = None,
+        offset: int | None = None,
+    ) -> DataFrame:
+        """GROUP BY + aggregates (SPARQL 1.1 §11; Jena runs these for the
+        reference via raw strings — sparql.clj:560-603 hands text to the
+        backend verbatim). Group-var columns stay term structs; aggregate
+        columns are plain (long counts, decimal sums, string concats).
+
+        agg spec: (op, operand_var_or_None, alias[, distinct[, separator]])
+        with op in count/sum/avg/min/max/group_concat/sample. GROUP_CONCAT
+        sorts its operands for a deterministic result (the spec leaves the
+        order undefined). One shuffle on the grouping key; partial (map-side)
+        aggregation applies to all of these ops at scale."""
+        from kr_spark.terms import NUMERIC_DATATYPES
+
+        plan = self.plan(pattern)
+        df = plan.df
+        gcols = [self.term(g).v if "/" in str(g) else str(g) for g in group_by]
+        for g in gcols:
+            if g not in plan.all_vars:
+                raise ValueError(f"GROUP BY var ?{g} not bound in pattern")
+        num_list = sorted(NUMERIC_DATATYPES)
+
+        def _num(name: str):
+            c = F.col(name)
+            return F.when(c["dt"].isin(*num_list), c["v"].cast("decimal(38,9)"))
+
+        def _ordkey(name: str):
+            c = F.col(name)
+            return F.struct(
+                (~c["dt"].isin(*num_list)).cast("int"), _num(name), c["v"]
+            )
+
+        agg_exprs = []
+        for spec in aggs:
+            op, operand, alias = spec[0], spec[1], spec[2]
+            distinct = bool(spec[3]) if len(spec) > 3 else False
+            sep = spec[4] if len(spec) > 4 else " "
+            name = None if operand is None else (
+                self.term(operand).v if "/" in str(operand) else str(operand)
+            )
+            if op == "count":
+                if name is None:
+                    e = F.count(F.lit(1))
+                elif distinct:
+                    e = F.count_distinct(F.col(name))
+                else:
+                    e = F.count(F.col(name))
+            elif op in ("sum", "avg"):
+                v = _num(name)
+                if distinct:
+                    s = F.sum_distinct(v)
+                    e = s if op == "sum" else s / F.count_distinct(v)
+                else:
+                    e = F.sum(v) if op == "sum" else F.avg(v)
+            elif op in ("min", "max"):
+                pick = F.min_by if op == "min" else F.max_by
+                e = pick(F.col(name)["v"], _ordkey(name))
+            elif op == "group_concat":
+                vals = F.collect_list(F.col(name)["v"])
+                if distinct:
+                    vals = F.array_distinct(vals)
+                e = F.array_join(F.array_sort(vals), sep)
+            elif op == "sample":
+                # any value is spec-conformant; min(lexical) is deterministic
+                e = F.min(F.col(name)["v"])
+            else:
+                raise ValueError(f"unknown aggregate {op!r}")
+            agg_exprs.append(e.alias(alias))
+
+        out = df.groupBy(*gcols).agg(*agg_exprs) if gcols else df.agg(*agg_exprs)
+        if having is not None:
+            out = out.filter(self._having_expr(having, out))
+        if order_by:
+            keys = []
+            for ref, direction in order_by:
+                nm = self.term(ref).v if "/" in str(ref) else str(ref)
+                c = F.col(nm)
+                if nm in gcols:  # struct column -> order by lexical form
+                    c = c["v"]
+                keys.append(c.desc() if str(direction).lower() == "desc" else c.asc())
+            out = out.orderBy(*keys)
+        if offset:
+            out = out.offset(offset)
+        if limit is not None:
+            out = out.limit(limit)
+        return out
+
+    def _having_expr(self, expr, df: DataFrame):
+        """HAVING over aggregate aliases: s-expr of comparisons/logic where a
+        '?/alias' ref resolves to the aggregate's plain output column."""
+        if isinstance(expr, (list, tuple)) and expr:
+            op = expr[0]
+            args = [self._having_expr(a, df) for a in expr[1:]]
+            if op == ":and":
+                c = args[0]
+                for a in args[1:]:
+                    c = c & a
+                return c
+            if op == ":or":
+                c = args[0]
+                for a in args[1:]:
+                    c = c | a
+                return c
+            if op in (":not", "!"):
+                return ~args[0]
+            if op in ("=", "!=", "<", ">", "<=", ">="):
+                l, r = args
+                return {
+                    "=": l == r, "!=": l != r, "<": l < r,
+                    ">": l > r, "<=": l <= r, ">=": l >= r,
+                }[op]
+            if op in ("*", "/", "+", "-"):
+                l, r = args
+                return {"*": l * r, "/": l / r, "+": l + r, "-": l - r}[op]
+            raise ValueError(f"unknown HAVING operator {op!r}")
+        if isinstance(expr, str) and expr.startswith("?/"):
+            name = self.term(expr).v
+            c = F.col(name)
+            return c["v"].cast("decimal(38,9)") if dict(df.dtypes).get(name, "").startswith("struct") else c
+        return F.lit(expr)
 
     def _row_to_binding(self, row: Row) -> dict:
         out = {}
@@ -330,6 +490,12 @@ class KB:
         from kr_spark.plans.sparql_parser import sparql_count
 
         return sparql_count(self, text)
+
+    def sparql_query_df(self, text: str) -> DataFrame:
+        """SELECT string (plain or GROUP BY/aggregate) -> DataFrame."""
+        from kr_spark.plans.sparql_parser import sparql_query_df
+
+        return sparql_query_df(self, text)
 
     def sparql_construct(self, text: str) -> DataFrame:
         from kr_spark.plans.sparql_parser import sparql_construct

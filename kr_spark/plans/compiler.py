@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kr_spark.terms import KIND_BNODE, KIND_LITERAL, KIND_VAR, Term
-from kr_spark.plans.filters import FILTER_OPS, compile_filter_expr
+from kr_spark.plans.filters import FILTER_OPS, compile_filter_expr, compile_value_expr
 
 _uid = itertools.count()
 
@@ -85,6 +85,16 @@ def _classify(kb, clause):
             return "optional", clause[1:]
         if head == ":union":
             return "union", clause[1:]
+        if head == ":minus":
+            return "minus", clause[1:]
+        if head == ":exists":
+            return "exists", clause[1:]
+        if head == ":not-exists":
+            return "not-exists", clause[1:]
+        if head == ":bind":
+            return "bind", clause[1:]  # (expr, var)
+        if head == ":values":
+            return "values", clause[1:]  # (vars, rows)
         if head in FILTER_OPS:
             return "filter", clause
     if isinstance(head, (list, tuple)) and not _looks_like_term_box(head):
@@ -110,6 +120,7 @@ def compile_pattern(kb, clauses, graph_scope: str | None = None) -> CompiledPatt
     (quad-store union semantics, matching reference visibility in
     test_rdf.clj:129-153); a URI = only that named graph."""
     triples, optionals, unions, filters, groups = [], [], [], [], []
+    binds, values_cls, minuses, exists_cls = [], [], [], []
     for clause in clauses:
         kind, payload = _classify(kb, clause)
         if kind == "triple":
@@ -120,6 +131,16 @@ def compile_pattern(kb, clauses, graph_scope: str | None = None) -> CompiledPatt
             unions.append(payload)
         elif kind == "filter":
             filters.append(payload)
+        elif kind == "bind":
+            binds.append(payload)
+        elif kind == "values":
+            values_cls.append(payload)
+        elif kind == "minus":
+            minuses.append(payload)
+        elif kind == "exists":
+            exists_cls.append((True, payload))
+        elif kind == "not-exists":
+            exists_cls.append((False, payload))
         else:
             groups.append(payload)
 
@@ -139,7 +160,7 @@ def compile_pattern(kb, clauses, graph_scope: str | None = None) -> CompiledPatt
     for u in unions:
         plans.append(_compile_union(kb, u, graph_scope))
 
-    if not plans and not optionals:
+    if not plans and not optionals and not values_cls:
         raise ValueError("empty pattern")
 
     if plans:
@@ -161,8 +182,40 @@ def compile_pattern(kb, clauses, graph_scope: str | None = None) -> CompiledPatt
         sub = compile_pattern(kb, list(opt), graph_scope)
         acc = sub if acc is None else _join(acc, sub, how="left")
 
+    # VALUES (SPARQL 1.1 §10.2): inline data joined with UNDEF-compatible
+    # semantics. Always tiny driver-side data -> broadcast hash join.
+    for vals in values_cls:
+        vp = _compile_values(kb, *vals)
+        acc = vp if acc is None else _join_values(acc, vp)
+
     if acc is None:
         raise ValueError("pattern had no joinable clauses")
+
+    # BIND (SPARQL 1.1 §10.1): extend each solution with a computed term.
+    # Applied after the group's pattern joins (subset: the bound var cannot
+    # feed a triple pattern of the SAME group; use a nested group for that).
+    for expr, var in binds:
+        vt = kb.term(var)
+        if vt.v in acc.all_vars:
+            raise ValueError(f"BIND would rebind in-scope var ?{vt.v}")
+        col = compile_value_expr(kb, expr, set(acc.all_vars))
+        acc = CompiledPattern(
+            acc.df.withColumn(vt.v, col),
+            acc.all_vars + [vt.v],
+            acc.visible_vars + [vt.v],
+        )
+
+    # MINUS (SPARQL 1.1 §8.3): anti-join on compatible bindings; a
+    # var-disjoint MINUS removes nothing (dom-overlap condition).
+    for m in minuses:
+        sub = compile_pattern(kb, list(m), graph_scope)
+        acc = _apply_minus(acc, sub)
+
+    # FILTER [NOT] EXISTS (SPARQL 1.1 §8.1): semi/anti join on the shared
+    # variables (unbound-left-var = compatible, per substitution semantics).
+    for positive, cl in exists_cls:
+        sub = compile_pattern(kb, list(cl), graph_scope)
+        acc = _apply_exists(acc, sub, positive)
 
     for f in filters:
         acc.df = acc.df.filter(compile_filter_expr(kb, f, acc.df, set(acc.all_vars)))
@@ -312,6 +365,103 @@ def _join(a: CompiledPattern, b: CompiledPattern, how: str) -> CompiledPattern:
     all_vars = a.all_vars + b_only
     visible = a.visible_vars + [v for v in b.visible_vars if v in b_only]
     return CompiledPattern(df, all_vars, visible)
+
+
+_TERM_STRUCT_DDL = "struct<kind:string,v:string,lang:string,dt:string>"
+
+
+def _compile_values(kb, vars_, rows) -> CompiledPattern:
+    """VALUES inline data block -> a tiny local DataFrame of term structs.
+    `vars_` are var refs; `rows` are lists of term-ish values, None = UNDEF."""
+    names = [kb.term(v).v for v in vars_]
+    data = []
+    for row in rows:
+        if len(row) != len(names):
+            raise ValueError(f"VALUES row arity {len(row)} != {len(names)}")
+        out = []
+        for cell in row:
+            if cell is None:
+                out.append(None)
+            else:
+                t = kb.term(cell)
+                out.append((t.kind, t.v, t.lang, t.dt))
+        data.append(tuple(out))
+    schema = ", ".join(f"{n} {_TERM_STRUCT_DDL}" for n in names)
+    df = kb.spark.createDataFrame(data, schema)
+    return CompiledPattern(df, list(names), list(names))
+
+
+def _join_values(acc: CompiledPattern, vp: CompiledPattern) -> CompiledPattern:
+    """Join inline data into a plan: UNDEF cells (NULL structs) are
+    compatible with anything; shared-var output keeps the bound side."""
+    shared = [v for v in acc.all_vars if v in set(vp.all_vars)]
+    v_only = [v for v in vp.all_vars if v not in set(acc.all_vars)]
+    if not shared:
+        return _join(acc, vp, how="inner")  # cartesian with inline data
+    renames = {v: _fresh("val") for v in shared}
+    vdf = vp.df
+    for v, tmp in renames.items():
+        vdf = vdf.withColumnRenamed(v, tmp)
+    cond = None
+    for v, tmp in renames.items():
+        c = F.col(tmp).isNull() | (F.col(v) == F.col(tmp))
+        cond = c if cond is None else (cond & c)
+    df = acc.df.join(F.broadcast(vdf), cond, "inner")
+    # a shared var bound only on the VALUES side (left was NULL via OPTIONAL)
+    for v, tmp in renames.items():
+        df = df.withColumn(v, F.coalesce(F.col(v), F.col(tmp)))
+    df = df.drop(*renames.values())
+    all_vars = acc.all_vars + v_only
+    visible = acc.visible_vars + [v for v in vp.visible_vars if v in v_only]
+    return CompiledPattern(df, all_vars, visible)
+
+
+def _compat_join(acc: CompiledPattern, sub: CompiledPattern, shared: list[str]):
+    """(renamed right df projected to shared vars, compatibility condition):
+    left-unbound or right-unbound shared vars are compatible."""
+    renames = {v: _fresh("c") for v in shared}
+    sdf = sub.df.select(*shared)
+    for v, tmp in renames.items():
+        sdf = sdf.withColumnRenamed(v, tmp)
+    cond = None
+    for v, tmp in renames.items():
+        c = F.col(v).isNull() | F.col(tmp).isNull() | (F.col(v) == F.col(tmp))
+        cond = c if cond is None else (cond & c)
+    return sdf, renames, cond
+
+
+def _apply_minus(acc: CompiledPattern, sub: CompiledPattern) -> CompiledPattern:
+    shared = [v for v in acc.all_vars if v in set(sub.all_vars)]
+    if not shared:
+        # disjoint domains: MINUS removes nothing (SPARQL 1.1 §8.3 note)
+        return acc
+    sdf, renames, compat = _compat_join(acc, sub, shared)
+    overlap = None
+    for v, tmp in renames.items():
+        c = F.col(v).isNotNull() & F.col(tmp).isNotNull()
+        overlap = c if overlap is None else (overlap | c)
+    df = acc.df.join(sdf, compat & overlap, "left_anti")
+    return CompiledPattern(df, acc.all_vars, acc.visible_vars)
+
+
+def _apply_exists(acc: CompiledPattern, sub: CompiledPattern, positive: bool) -> CompiledPattern:
+    shared = [v for v in acc.all_vars if v in set(sub.all_vars)]
+    how = "left_semi" if positive else "left_anti"
+    if not shared:
+        df = acc.df.join(sub.df.limit(1), F.lit(True), how)
+    else:
+        # EXISTS substitution semantics: an unbound LEFT var imposes no
+        # constraint; the right side must be bound to its own solution vars,
+        # so only left-null is compatible here (unlike MINUS).
+        renames = {v: _fresh("e") for v in shared}
+        sdf = sub.df.select(*shared)
+        cond = None
+        for v, tmp in renames.items():
+            sdf = sdf.withColumnRenamed(v, tmp)
+            c = F.col(v).isNull() | (F.col(v) == F.col(tmp))
+            cond = c if cond is None else (cond & c)
+        df = acc.df.join(sdf, cond, how)
+    return CompiledPattern(df, acc.all_vars, acc.visible_vars)
 
 
 def _compile_union(kb, branches, graph_scope: str | None) -> CompiledPattern:

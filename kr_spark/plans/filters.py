@@ -62,10 +62,17 @@ class _Val:
     """A compiled filter operand: either a term struct column or a plain
     (string/numeric/boolean) column."""
 
-    def __init__(self, struct: Column | None = None, plain: Column | None = None, is_bool: bool = False):
+    def __init__(
+        self,
+        struct: Column | None = None,
+        plain: Column | None = None,
+        is_bool: bool = False,
+        is_num: bool = False,
+    ):
         self.struct = struct
         self.plain = plain
         self.is_bool = is_bool
+        self.is_num = is_num
 
     def string(self) -> Column:
         # str() of a term: IRI string / lexical form (sparql.clj:304)
@@ -94,6 +101,45 @@ class _Val:
 def compile_filter_expr(kb, expr, df, plan_vars: set) -> Column:
     v = _compile(kb, expr, plan_vars)
     return v.boolean()
+
+
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+def _trim_decimal(c: Column) -> Column:
+    """Canonical lexical form for a decimal(38,9) value: strip trailing
+    fraction zeros ('9000.000000000' -> '9000', '1.500000000' -> '1.5')."""
+    s = c.cast("string")
+    s = F.regexp_replace(s, r"(\.\d*?)0+$", "$1")
+    return F.regexp_replace(s, r"\.$", "")
+
+
+def compile_value_expr(kb, expr, plan_vars: set) -> Column:
+    """Compile an expression to a term STRUCT column (BIND(expr AS ?v),
+    SPARQL 1.1 §10.1). A boolean yields xsd:boolean, arithmetic yields
+    xsd:decimal in canonical lexical form, :str/:lang/:datatype yield plain
+    literals, and a bare var/constant passes its struct through. NULL (error
+    in SPARQL terms) leaves the variable unbound, per spec."""
+    v = _compile(kb, expr, plan_vars)
+    if v.struct is not None:
+        return v.struct
+    if v.is_bool:
+        lex = F.when(v.plain, F.lit("true")).when(~v.plain, F.lit("false"))
+        dt = F.lit(_XSD + "boolean")
+    elif v.is_num:
+        lex = _trim_decimal(v.plain.cast("decimal(38,9)"))
+        dt = F.lit(_XSD + "decimal")
+    else:
+        # string builtins (:str/:lang/:datatype) -> plain literal
+        lex = v.plain.cast("string")
+        dt = F.lit("")
+    struct = F.struct(
+        F.lit("literal").alias("kind"),
+        lex.alias("v"),
+        F.lit("").alias("lang"),
+        dt.alias("dt"),
+    )
+    return F.when(lex.isNotNull(), struct)
 
 
 def _compile(kb, expr, plan_vars: set) -> _Val:
@@ -182,7 +228,7 @@ def _apply_op(kb, op: str, args, plan_vars: set) -> _Val:
     if op in ("*", "/", "+", "-"):
         l, r = A[0].numeric(), A[1].numeric()
         c = {"*": l * r, "/": l / r, "+": l + r, "-": l - r}[op]
-        return _Val(plain=c)
+        return _Val(plain=c, is_num=True)
 
     raise ValueError(f"unknown filter operator {op!r}")
 

@@ -123,6 +123,31 @@ def _emit_clause(kb, clause, indent: str) -> str:
                 for b in clause[1:]
             ]
             return " UNION ".join(parts)
+        if head == ":minus":
+            inner = emit_body(kb, list(clause[1:]), indent + "  ")
+            return "MINUS {\n" + inner + "\n" + indent + "}"
+        if head == ":exists":
+            inner = emit_body(kb, list(clause[1:]), indent + "  ")
+            return "FILTER EXISTS {\n" + inner + "\n" + indent + "}"
+        if head == ":not-exists":
+            inner = emit_body(kb, list(clause[1:]), indent + "  ")
+            return "FILTER NOT EXISTS {\n" + inner + "\n" + indent + "}"
+        if head == ":bind":
+            expr, var = clause[1], clause[2]
+            return (
+                "BIND (" + _emit_filter_expr(kb, expr) + " AS "
+                + emit_term(kb, var) + ")"
+            )
+        if head == ":values":
+            vars_, rows = clause[1], clause[2]
+            vs = " ".join(emit_term(kb, v) for v in vars_)
+            cells = []
+            for row in rows:
+                vals = " ".join(
+                    "UNDEF" if c is None else emit_term(kb, c) for c in row
+                )
+                cells.append("(" + vals + ")")
+            return "VALUES (" + vs + ") { " + " ".join(cells) + " }"
         if head in FILTER_OPS:
             # always parenthesized, like the reference (sparql.clj:394-395)
             return "FILTER (" + _emit_filter_expr(kb, clause) + ")"

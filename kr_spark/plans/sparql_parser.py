@@ -13,7 +13,13 @@ query kr itself generates round-trips through here:
   terms: <uri>, prefix:local, ?var, _:bnode, "lit"[@lang|^^dt], numbers;
   property paths in predicate position — the syntax kr's own compiler emits
   (sparql.clj:130-199): p* p+ p? p{n} p{n,m} p{n,} p{,m}, p1/p2, p1|p2, ^p,
-  parenthesized composition.
+  parenthesized composition;
+  SPARQL 1.1 algebra (the reference runs these through Jena verbatim):
+  BIND(expr AS ?v), VALUES (1-var and n-var forms, UNDEF), MINUS { },
+  FILTER [NOT] EXISTS { }, aggregates COUNT/SUM/AVG/MIN/MAX/GROUP_CONCAT
+  (with DISTINCT and SEPARATOR)/SAMPLE, GROUP BY, HAVING (over aggregate
+  aliases), ORDER BY [ASC|DESC](?v)..., OFFSET; expression precedence
+  || > && > cmp > +- > */ > unary.
 
 The output is the engine's native pattern s-expression (plans/compiler.py
 input), so the full Catalyst pipeline — join ordering, pushdown, branch
@@ -64,6 +70,9 @@ def _unescape_string(s: str) -> str:
 _KEYWORDS = {
     "prefix", "select", "ask", "construct", "where", "distinct", "reduced",
     "limit", "optional", "union", "filter", "graph", "count", "as",
+    "bind", "values", "minus", "exists", "not", "undef", "group", "by",
+    "having", "order", "asc", "desc", "offset", "sum", "avg", "min", "max",
+    "group_concat", "sample", "separator",
 }
 
 
@@ -153,9 +162,33 @@ class _Parser:
             if self.at_kw("optional"):
                 self.next()
                 clauses.append((":optional", *self.group()))
+            elif self.at_kw("minus"):
+                self.next()
+                clauses.append((":minus", *self.group()))
+            elif self.at_kw("bind"):
+                self.next()
+                self.eat("(")
+                e = self._or_expr()
+                self.eat("as")
+                var = self.next()
+                if var[0] not in "?$":
+                    raise ValueError(f"BIND target must be a var, got {var!r}")
+                self.eat(")")
+                clauses.append((":bind", e, "?/" + var[1:]))
+            elif self.at_kw("values"):
+                self.next()
+                clauses.append(self._values())
             elif self.at_kw("filter"):
                 self.next()
-                clauses.append(self.filter_expr())
+                if self.at_kw("exists"):
+                    self.next()
+                    clauses.append((":exists", *self.group()))
+                elif self.at_kw("not"):
+                    self.next()
+                    self.eat("exists")
+                    clauses.append((":not-exists", *self.group()))
+                else:
+                    clauses.append(self.filter_expr())
             elif self.at_kw("graph"):
                 self.next()
                 g = self._term(self.next())
@@ -180,6 +213,41 @@ class _Parser:
                     self.next()
         self.eat("}")
         return clauses
+
+    def _values(self) -> tuple:
+        """VALUES ?x { v... }  |  VALUES (?x ?y) { (v v) (UNDEF v) ... }"""
+        if self.peek() == "(":
+            self.next()
+            vars_ = []
+            while self.peek() != ")":
+                v = self.next()
+                vars_.append("?/" + v[1:])
+            self.eat(")")
+            rows = []
+            self.eat("{")
+            while self.peek() == "(":
+                self.next()
+                row = []
+                while self.peek() != ")":
+                    row.append(self._values_cell())
+                self.eat(")")
+                rows.append(row)
+            self.eat("}")
+        else:
+            v = self.next()
+            vars_ = ["?/" + v[1:]]
+            rows = []
+            self.eat("{")
+            while not self.at_kw("}"):
+                rows.append([self._values_cell()])
+            self.eat("}")
+        return (":values", vars_, rows)
+
+    def _values_cell(self):
+        if self.at_kw("undef"):
+            self.next()
+            return None
+        return self._term(self.next())
 
     # ---- property paths in predicate position (sparql.clj:130-199) ----
     # SPARQL 1.1 path grammar subset kr emits. Engine spec mapping:
@@ -258,11 +326,35 @@ class _Parser:
         return parts[0] if len(parts) == 1 else (":or", *parts)
 
     def _and_expr(self):
-        parts = [self._unary_expr()]
+        parts = [self._rel_expr()]
         while self.peek() == "&&":
             self.next()
-            parts.append(self._unary_expr())
+            parts.append(self._rel_expr())
         return parts[0] if len(parts) == 1 else (":and", *parts)
+
+    # precedence: || > && > cmp > +- > */ > unary (SPARQL 1.1 §19.8 grammar);
+    # caveat shared with the real grammar: '?a-3' lexes as var, '10-3' as two
+    # number tokens — put spaces around minus.
+    def _rel_expr(self):
+        left = self._add_expr()
+        if self.peek() in self._CMP:
+            op = self.next()
+            return (op, left, self._add_expr())
+        return left
+
+    def _add_expr(self):
+        e = self._mul_expr()
+        while self.peek() in ("+", "-"):
+            op = self.next()
+            e = (op, e, self._mul_expr())
+        return e
+
+    def _mul_expr(self):
+        e = self._unary_expr()
+        while self.peek() in ("*", "/"):
+            op = self.next()
+            e = (op, e, self._unary_expr())
+        return e
 
     def _unary_expr(self):
         if self.peek() == "!":
@@ -272,15 +364,8 @@ class _Parser:
             self.next()
             e = self._or_expr()
             self.eat(")")
-            return self._maybe_cmp(e)
-        return self._maybe_cmp(self._primary())
-
-    def _maybe_cmp(self, left):
-        if self.peek() in self._CMP:
-            op = self.next()
-            right = self._primary()
-            return (op, left, right)
-        return left
+            return e
+        return self._primary()
 
     def _primary(self):
         t = self.next()
@@ -329,35 +414,60 @@ class _Parser:
             distinct = False
             if self.at_kw("distinct") or self.at_kw("reduced"):
                 distinct = self.next().lower() == "distinct"
-            count_var = None
             select_vars: list[str] | None = None
-            if self.peek() == "(":
-                self.next()
-                self.eat("count")
-                self.eat("(")
-                self.eat("*")
-                self.eat(")")
-                self.eat("as")
-                count_var = self.next()
-                self.eat(")")
-            elif self.peek() == "*":
+            aggs: list[tuple] = []
+            if self.peek() == "*":
                 self.next()
             else:
                 select_vars = []
-                while self.peek() and self.peek()[0] in "?$":
-                    select_vars.append("?/" + self.next()[1:])
+                while True:
+                    t = self.peek()
+                    if t and t[0] in "?$":
+                        select_vars.append("?/" + self.next()[1:])
+                    elif t == "(":
+                        self.next()
+                        aggs.append(self._agg_item())
+                    else:
+                        break
             if self.at_kw("where"):
                 self.next()
             pattern = self.group()
-            limit = self._limit()
-            if count_var is not None:
-                return {"type": "count", "pattern": pattern, "limit": limit}
+            mods = self._modifiers()
+            if (
+                len(aggs) == 1
+                and aggs[0][0] == "count"
+                and aggs[0][1] is None
+                and not aggs[0][3]
+                and not mods["group_by"]
+                and select_vars == []
+            ):
+                # plain SELECT (COUNT(*) AS ?c) — the kr-emitted count form
+                return {
+                    "type": "count",
+                    "pattern": pattern,
+                    "limit": mods["limit"],
+                    "distinct": distinct,
+                }
+            if aggs or mods["group_by"]:
+                return {
+                    "type": "aggregate",
+                    "pattern": pattern,
+                    "select_vars": select_vars,
+                    "group_by": mods["group_by"],
+                    "aggs": aggs,
+                    "having": mods["having"],
+                    "order_by": mods["order_by"],
+                    "limit": mods["limit"],
+                    "offset": mods["offset"],
+                }
             return {
                 "type": "select",
                 "pattern": pattern,
                 "select_vars": select_vars,
                 "distinct": distinct,
-                "limit": limit,
+                "limit": mods["limit"],
+                "order_by": mods["order_by"],
+                "offset": mods["offset"],
             }
         if form == "construct":
             template = [tuple(tp) for tp in self.group()]
@@ -373,9 +483,104 @@ class _Parser:
             return int(self.next())
         return None
 
+    _AGGS = {"count", "sum", "avg", "min", "max", "group_concat", "sample"}
+
+    def _agg_item(self) -> tuple:
+        """'(' already eaten: AGG([DISTINCT] ?v|* [; SEPARATOR = "s"]) AS ?a ')'
+        -> (op, operand|None, alias, distinct, separator)."""
+        fn = self.next().lower()
+        if fn not in self._AGGS:
+            raise ValueError(f"unsupported projection expression {fn!r}")
+        self.eat("(")
+        distinct = False
+        if self.at_kw("distinct"):
+            self.next()
+            distinct = True
+        operand = None
+        if self.peek() == "*":
+            self.next()
+        else:
+            operand = "?/" + self.next()[1:]
+        sep = " "
+        if self.peek() == ";":
+            self.next()
+            self.eat("separator")
+            self.eat("=")
+            s = self._term(self.next())
+            sep = s[0] if isinstance(s, list) else str(s)
+        self.eat(")")
+        self.eat("as")
+        alias = self.next()[1:]
+        self.eat(")")
+        return (fn, operand, alias, distinct, sep)
+
+    def _modifiers(self) -> dict:
+        """GROUP BY / HAVING / ORDER BY / LIMIT / OFFSET (any LIMIT-OFFSET
+        order; HAVING references aggregate ALIASES, e.g. HAVING(?cnt > 5))."""
+        out = {"group_by": [], "having": None, "order_by": [],
+               "limit": None, "offset": None}
+        while True:
+            if self.at_kw("group"):
+                self.next()
+                self.eat("by")
+                while self.peek() and self.peek()[0] in "?$":
+                    out["group_by"].append("?/" + self.next()[1:])
+            elif self.at_kw("having"):
+                self.next()
+                out["having"] = self.filter_expr()
+            elif self.at_kw("order"):
+                self.next()
+                self.eat("by")
+                while True:
+                    if self.at_kw("asc") or self.at_kw("desc"):
+                        d = self.next().lower()
+                        self.eat("(")
+                        v = self.next()
+                        self.eat(")")
+                        out["order_by"].append(("?/" + v[1:], d))
+                    elif self.peek() and self.peek()[0] in "?$":
+                        out["order_by"].append(("?/" + self.next()[1:], "asc"))
+                    else:
+                        break
+            elif self.at_kw("limit"):
+                self.next()
+                out["limit"] = int(self.next())
+            elif self.at_kw("offset"):
+                self.next()
+                out["offset"] = int(self.next())
+            else:
+                break
+        return out
+
 
 def parse_sparql(kb, text: str) -> dict:
     return _Parser(kb, text).parse()
+
+
+def sparql_query_df(kb, text: str):
+    """SELECT (plain or aggregate) string -> DataFrame. Group vars keep the
+    term-struct columns; aggregate columns are plain values."""
+    q = parse_sparql(kb, text)
+    if q["type"] == "select":
+        return kb.query_df(
+            q["pattern"],
+            select_vars=q["select_vars"],
+            distinct=q["distinct"],
+            limit=q["limit"],
+            order_by=q.get("order_by") or None,
+            offset=q.get("offset"),
+        )
+    if q["type"] == "aggregate":
+        return kb.aggregate_df(
+            q["pattern"],
+            group_by=q["group_by"],
+            aggs=q["aggs"],
+            having=q["having"],
+            order_by=q.get("order_by") or None,
+            limit=q["limit"],
+            offset=q.get("offset"),
+        )
+    raise ValueError(f"not a SELECT query: {q['type']}")
 
 
 def sparql_query(kb, text: str) -> list[dict]:
@@ -386,7 +591,26 @@ def sparql_query(kb, text: str) -> list[dict]:
             select_vars=q["select_vars"],
             distinct=q["distinct"],
             limit=q["limit"],
+            order_by=q.get("order_by") or None,
+            offset=q.get("offset"),
         )
+    if q["type"] == "aggregate":
+        from kr_spark.terms import Term
+
+        rows = sparql_query_df(kb, text).collect()
+        out = []
+        for r in rows:
+            d = {}
+            for k, val in r.asDict().items():
+                if val is None:
+                    continue
+                d[k] = (
+                    Term(val["kind"], val["v"], val["lang"], val["dt"])
+                    if hasattr(val, "__fields__")
+                    else val
+                )
+            out.append(d)
+        return out
     raise ValueError(f"not a SELECT query: {q['type']}")
 
 

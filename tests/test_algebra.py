@@ -1,0 +1,349 @@
+"""SPARQL 1.1 algebra extensions: BIND, VALUES, MINUS, FILTER [NOT] EXISTS,
+aggregates (GROUP BY/HAVING), ORDER BY/OFFSET.
+
+The reference hands raw query strings to Jena/Sesame (sparql.clj:560-603),
+which evaluate full SPARQL 1.1 — so a reference user can run all of these
+today; this module is the engine-native counterpart (semantics per SPARQL
+1.1 REC §8, §10, §11, §15).
+"""
+
+import pytest
+
+
+def _ln(t):
+    return t.v.rsplit("/", 1)[-1]
+
+from tests.conftest import TEST_TRIPLES_NUMBERS, load_fixture
+
+PREFIXES = """
+PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+PREFIX ex: <http://www.example.org/>
+"""
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+# ---- BIND (§10.1) ----
+
+
+def test_bind_arithmetic(kb):
+    load_fixture(kb, TEST_TRIPLES_NUMBERS)
+    rows = kb.query(
+        [("?/x", "foaf/age", "?/a"), (":bind", ("*", "?/a", 2), "?/dbl")]
+    )
+    got = {(_ln(b["x"]), b["dbl"].v) for b in rows}
+    assert got == {("a", "80"), ("b", "80"), ("c", "100")}
+    assert all(b["dbl"].dt == XSD + "decimal" for b in rows)
+
+
+def test_bind_boolean_and_str(kb):
+    load_fixture(kb, TEST_TRIPLES_NUMBERS)
+    rows = kb.query(
+        [
+            ("?/x", "foaf/age", "?/a"),
+            (":bind", (">", "?/a", 45), "?/old"),
+            (":bind", (":str", "?/x"), "?/iri_str"),
+        ]
+    )
+    by = {_ln(b["x"]): b for b in rows}
+    assert by["c"]["old"].v == "true" and by["a"]["old"].v == "false"
+    assert by["c"]["old"].dt == XSD + "boolean"
+    assert by["a"]["iri_str"].v == "http://www.example.org/a"
+    assert by["a"]["iri_str"].dt == ""  # plain literal
+
+
+def test_bind_rejects_in_scope_var(kb):
+    load_fixture(kb, TEST_TRIPLES_NUMBERS)
+    with pytest.raises(ValueError, match="rebind"):
+        kb.query([("?/x", "foaf/age", "?/a"), (":bind", ("+", "?/a", 1), "?/a")])
+
+
+def test_bind_sparql_string(kb):
+    load_fixture(kb, TEST_TRIPLES_NUMBERS)
+    rows = kb.sparql_query(
+        PREFIXES
+        + "SELECT ?x ?c WHERE { ?x foaf:age ?a . BIND(?a * 100 AS ?c) }"
+    )
+    assert {b["c"].v for b in rows} == {"4000", "5000"}
+
+
+# ---- VALUES (§10.2) ----
+
+
+def test_values_single_var(kb):
+    load_fixture(kb, TEST_TRIPLES_NUMBERS)
+    rows = kb.query(
+        [("?/x", "foaf/age", "?/a"), (":values", ["?/x"], [["ex/a"], ["ex/c"]])]
+    )
+    assert {_ln(b["x"]) for b in rows} == {"a", "c"}
+
+
+def test_values_undef_and_new_var(kb):
+    load_fixture(kb, TEST_TRIPLES_NUMBERS)
+    rows = kb.query(
+        [
+            ("?/x", "foaf/surname", "?/s"),
+            (
+                ":values",
+                ["?/x", "?/tag"],
+                [["ex/a", ["first"]], [None, ["any"]]],
+            ),
+        ]
+    )
+    got = sorted((_ln(b["x"]), b["tag"].v) for b in rows)
+    # UNDEF row matches every binding; the ex/a row only ex/a
+    assert got == [("a", "any"), ("a", "first"), ("b", "any"), ("c", "any")]
+
+
+def test_values_only_pattern(kb):
+    rows = kb.query([(":values", ["?/x"], [["ex/a"], ["ex/b"]])])
+    assert {_ln(b["x"]) for b in rows} == {"a", "b"}
+
+
+def test_values_sparql_string(kb):
+    load_fixture(kb, TEST_TRIPLES_NUMBERS)
+    rows = kb.sparql_query(
+        PREFIXES
+        + """SELECT ?x ?a WHERE {
+              ?x foaf:age ?a . VALUES ?x { ex:a ex:b } }"""
+    )
+    assert {_ln(b["x"]) for b in rows} == {"a", "b"}
+    rows = kb.sparql_query(
+        PREFIXES
+        + """SELECT ?x ?t WHERE {
+              ?x foaf:age ?a .
+              VALUES (?x ?t) { (ex:a "A") (UNDEF "z") } }"""
+    )
+    assert sorted((_ln(b["x"]), b["t"].v) for b in rows) == [
+        ("a", "A"), ("a", "z"), ("b", "z"), ("c", "z"),
+    ]
+
+
+# ---- MINUS (§8.3) ----
+
+
+def test_minus_removes_compatible(kb):
+    load_fixture(kb, TEST_TRIPLES_NUMBERS)
+    rows = kb.query(
+        [
+            ("?/x", "foaf/surname", "?/s"),
+            (":minus", ("?/x", "foaf/givenname", "?/g")),
+        ]
+    )
+    # only ex/a has givenname; b and c use firstname
+    assert {_ln(b["x"]) for b in rows} == {"b", "c"}
+
+
+def test_minus_disjoint_domain_removes_nothing(kb):
+    # SPARQL 1.1 §8.3: MINUS with no shared variables removes nothing
+    load_fixture(kb, TEST_TRIPLES_NUMBERS)
+    rows = kb.query(
+        [
+            ("?/x", "foaf/surname", "?/s"),
+            (":minus", ("?/y", "foaf/givenname", "?/g")),
+        ]
+    )
+    assert len(rows) == 3
+
+
+def test_minus_sparql_string(kb):
+    load_fixture(kb, TEST_TRIPLES_NUMBERS)
+    rows = kb.sparql_query(
+        PREFIXES
+        + "SELECT ?x WHERE { ?x foaf:surname ?s . MINUS { ?x foaf:givenname ?g } }"
+    )
+    assert {_ln(b["x"]) for b in rows} == {"b", "c"}
+
+
+# ---- FILTER EXISTS / NOT EXISTS (§8.1) ----
+
+
+def test_exists(kb):
+    load_fixture(kb, TEST_TRIPLES_NUMBERS)
+    rows = kb.query(
+        [
+            ("?/x", "foaf/surname", "?/s"),
+            (":exists", ("?/x", "foaf/firstname", "?/f")),
+        ]
+    )
+    assert {_ln(b["x"]) for b in rows} == {"b", "c"}
+
+
+def test_not_exists(kb):
+    load_fixture(kb, TEST_TRIPLES_NUMBERS)
+    rows = kb.query(
+        [
+            ("?/x", "foaf/surname", "?/s"),
+            (":not-exists", ("?/x", "foaf/firstname", "?/f")),
+        ]
+    )
+    assert {_ln(b["x"]) for b in rows} == {"a"}
+
+
+def test_not_exists_var_disjoint(kb):
+    # NOT EXISTS over a var-disjoint non-empty pattern removes every row
+    load_fixture(kb, TEST_TRIPLES_NUMBERS)
+    rows = kb.query(
+        [
+            ("?/x", "foaf/surname", "?/s"),
+            (":not-exists", ("?/y", "foaf/age", "?/a")),
+        ]
+    )
+    assert rows == []
+
+
+def test_exists_sparql_string(kb):
+    load_fixture(kb, TEST_TRIPLES_NUMBERS)
+    rows = kb.sparql_query(
+        PREFIXES
+        + """SELECT ?x WHERE {
+              ?x foaf:surname ?s .
+              FILTER NOT EXISTS { ?x foaf:givenname ?g } }"""
+    )
+    assert {_ln(b["x"]) for b in rows} == {"b", "c"}
+
+
+# ---- aggregates (§11) ----
+
+
+def test_aggregate_native(kb):
+    load_fixture(kb, TEST_TRIPLES_NUMBERS)
+    df = kb.aggregate_df(
+        [("?/x", "foaf/surname", "?/s"), ("?/x", "foaf/age", "?/a")],
+        group_by=["?/s"],
+        aggs=[
+            ("count", None, "n"),
+            ("sum", "?/a", "total"),
+            ("avg", "?/a", "mean"),
+            ("min", "?/a", "lo"),
+            ("max", "?/a", "hi"),
+            ("group_concat", "?/a", "ages", False, ","),
+            ("sample", "?/a", "one"),
+        ],
+    )
+    row = df.collect()[0]
+    assert row["s"]["v"] == "Hacker"
+    assert row["n"] == 3
+    assert int(row["total"]) == 130
+    assert abs(float(row["mean"]) - 130 / 3) < 1e-6
+    assert (row["lo"], row["hi"]) == ("40", "50")
+    assert row["ages"] == "40,40,50"
+    assert row["one"] == "40"
+
+
+def test_aggregate_distinct_and_having(kb):
+    load_fixture(kb, TEST_TRIPLES_NUMBERS)
+    df = kb.aggregate_df(
+        [("?/x", "foaf/surname", "?/s"), ("?/x", "foaf/age", "?/a")],
+        group_by=["?/s"],
+        aggs=[("count", "?/a", "n", True), ("sum", "?/a", "t", True)],
+        having=(">", "?/n", 1),
+    )
+    row = df.collect()[0]
+    assert row["n"] == 2  # distinct ages {40, 50}
+    assert int(row["t"]) == 90
+    # HAVING that filters the only group away
+    df2 = kb.aggregate_df(
+        [("?/x", "foaf/surname", "?/s")],
+        group_by=["?/s"],
+        aggs=[("count", None, "n")],
+        having=(">", "?/n", 10),
+    )
+    assert df2.count() == 0
+
+
+def test_aggregate_no_groupby(kb):
+    load_fixture(kb, TEST_TRIPLES_NUMBERS)
+    df = kb.aggregate_df(
+        [("?/x", "foaf/age", "?/a")], group_by=[], aggs=[("sum", "?/a", "t")]
+    )
+    assert int(df.collect()[0]["t"]) == 130
+
+
+def test_aggregate_sparql_string(kb):
+    load_fixture(kb, TEST_TRIPLES_NUMBERS)
+    rows = kb.sparql_query(
+        PREFIXES
+        + """SELECT ?s (COUNT(?x) AS ?cnt) (MAX(?a) AS ?oldest)
+            WHERE { ?x foaf:surname ?s . ?x foaf:age ?a . }
+            GROUP BY ?s HAVING(?cnt >= 2) ORDER BY DESC(?cnt)"""
+    )
+    assert len(rows) == 1
+    assert rows[0]["s"].v == "Hacker"
+    assert rows[0]["cnt"] == 3
+    assert rows[0]["oldest"] == "50"
+
+
+def test_legacy_count_star_still_count_type(kb):
+    load_fixture(kb, TEST_TRIPLES_NUMBERS)
+    n = kb.sparql_count(
+        PREFIXES + "SELECT (COUNT(*) AS ?c) WHERE { ?x foaf:age ?a . }"
+    )
+    assert n == 3
+
+
+def test_group_concat_separator_string(kb):
+    load_fixture(kb, TEST_TRIPLES_NUMBERS)
+    rows = kb.sparql_query(
+        PREFIXES
+        + """SELECT (GROUP_CONCAT(DISTINCT ?a ; SEPARATOR = "|") AS ?ages)
+            WHERE { ?x foaf:age ?a . }"""
+    )
+    assert rows[0]["ages"] == "40|50"
+
+
+# ---- ORDER BY / OFFSET (§15) ----
+
+
+def test_order_by_numeric_value_space(kb):
+    # numeric ORDER BY must sort by value, not lexically ("9" < "10")
+    load_fixture(kb, [("ex/x9", "foaf/age", 9), ("ex/x10", "foaf/age", 10)])
+    rows = kb.query(
+        [("?/x", "foaf/age", "?/a")], order_by=[("?/a", "asc")]
+    )
+    assert [b["a"].v for b in rows] == ["9", "10"]
+
+
+def test_order_offset_limit_sparql(kb):
+    load_fixture(kb, TEST_TRIPLES_NUMBERS)
+    rows = kb.sparql_query(
+        PREFIXES
+        + """SELECT ?x ?a WHERE { ?x foaf:age ?a . }
+            ORDER BY DESC(?a) ?x OFFSET 1 LIMIT 1"""
+    )
+    assert len(rows) == 1
+    assert rows[0]["a"].v == "40"
+    assert _ln(rows[0]["x"]) == "a"  # tie on 40 broken by ?x asc
+
+
+# ---- emitter round-trips (Q9 parity both directions) ----
+
+
+def test_emit_roundtrip_new_forms(kb):
+    from kr_spark.plans.sparql_emit import emit_select
+    from kr_spark.plans.sparql_parser import parse_sparql
+
+    load_fixture(kb, TEST_TRIPLES_NUMBERS)
+    pattern = [
+        ("?/x", "foaf/surname", "?/s"),
+        (":minus", ("?/x", "foaf/givenname", "?/g")),
+        (":not-exists", ("?/x", "foaf/missing", "?/m")),
+        (":bind", ("+", "?/a", 1), "?/a1"),
+        (":values", ["?/x"], [["ex/b"], ["ex/c"]]),
+    ]
+    # BIND references ?a which is unbound here — emitted text must still
+    # parse; evaluate a simpler equivalent for the value check
+    text = emit_select(kb, pattern)
+    q = parse_sparql(kb, text)
+    assert q["type"] == "select"
+    heads = {c[0] for c in q["pattern"] if isinstance(c[0], str)}
+    assert {":minus", ":not-exists", ":bind", ":values"} <= heads
+    rows = kb.query(
+        [
+            ("?/x", "foaf/surname", "?/s"),
+            (":minus", ("?/x", "foaf/givenname", "?/g")),
+            (":values", ["?/x"], [["ex/b"], ["ex/c"]]),
+        ]
+    )
+    assert {_ln(b["x"]) for b in rows} == {"b", "c"}
