@@ -26,6 +26,7 @@ from pyspark.sql import types as T
 
 from kr_spark.namespaces import NamespaceRegistry
 from kr_spark.terms import (
+    KIND_BNODE,
     KIND_LITERAL,
     Term,
     to_term,
@@ -496,6 +497,53 @@ class KB:
         from kr_spark.plans.sparql_parser import sparql_query_df
 
         return sparql_query_df(self, text)
+
+    def describe(self, *subjects) -> DataFrame:
+        """DESCRIBE: concise bounded description — all triples whose subject
+        is one of `subjects`, plus the transitive closure through blank-node
+        objects (the CBD Jena computes for the reference's raw DESCRIBE
+        strings). Blank-node chains are rare and shallow in practice; the
+        loop is driver-paced with a depth cap, each step one semi-join."""
+        df = self.df()
+        vals = [self.term(s).v for s in subjects]
+        seed = df.filter(F.col("s").isin(vals))
+        out = seed
+        visited = seed.select("s").distinct()
+        frontier = (
+            seed.filter(F.col("o_kind") == KIND_BNODE)
+            .select(F.col("o").alias("s"))
+            .distinct()
+        )
+        for _ in range(16):  # CBD bnode-chain depth cap
+            frontier = frontier.join(visited, on="s", how="left_anti")
+            if frontier.isEmpty():
+                break
+            step = df.join(frontier, on="s", how="left_semi")
+            out = out.unionByName(step)
+            visited = visited.unionByName(frontier).distinct()
+            frontier = (
+                step.filter(F.col("o_kind") == KIND_BNODE)
+                .select(F.col("o").alias("s"))
+                .distinct()
+            )
+        return out
+
+    def sparql_describe(self, text: str) -> DataFrame:
+        """DESCRIBE string -> triple DataFrame (CBD per `describe`)."""
+        from kr_spark.plans.sparql_parser import parse_sparql
+
+        q = parse_sparql(self, text)
+        if q["type"] != "describe":
+            raise ValueError(f"not a DESCRIBE query: {q['type']}")
+        subjects = list(q["subjects"])
+        if q.get("pattern"):
+            var = subjects[0]
+            rows = self.query(q["pattern"], select_vars=[var])
+            name = self.term(var).v
+            subjects = [b[name] for b in rows if name in b]
+            if not subjects:
+                return self.df().limit(0)
+        return self.describe(*subjects)
 
     def sparql_construct(self, text: str) -> DataFrame:
         from kr_spark.plans.sparql_parser import sparql_construct

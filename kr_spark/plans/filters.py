@@ -44,6 +44,36 @@ FILTER_OPS = frozenset(
         ":sameTerm",
         ":langMatches",
         ":regex",
+        # SPARQL 1.1 §17.4 builtins (the reference reaches these through
+        # Jena's evaluator; here each maps to one Catalyst expression)
+        ":strlen",
+        ":substr",
+        ":ucase",
+        ":lcase",
+        ":contains",
+        ":strstarts",
+        ":strends",
+        ":concat",
+        ":replace",
+        ":strbefore",
+        ":strafter",
+        ":encode_for_uri",
+        ":abs",
+        ":round",
+        ":ceil",
+        ":floor",
+        ":if",
+        ":coalesce",
+        ":iri",
+        ":uri",
+        ":strdt",
+        ":strlang",
+        ":bnode",
+        ":md5",
+        ":sha1",
+        ":sha256",
+        ":sha384",
+        ":sha512",
     }
 )
 
@@ -120,31 +150,20 @@ def compile_value_expr(kb, expr, plan_vars: set) -> Column:
     xsd:decimal in canonical lexical form, :str/:lang/:datatype yield plain
     literals, and a bare var/constant passes its struct through. NULL (error
     in SPARQL terms) leaves the variable unbound, per spec."""
-    v = _compile(kb, expr, plan_vars)
-    if v.struct is not None:
-        return v.struct
-    if v.is_bool:
-        lex = F.when(v.plain, F.lit("true")).when(~v.plain, F.lit("false"))
-        dt = F.lit(_XSD + "boolean")
-    elif v.is_num:
-        lex = _trim_decimal(v.plain.cast("decimal(38,9)"))
-        dt = F.lit(_XSD + "decimal")
-    else:
-        # string builtins (:str/:lang/:datatype) -> plain literal
-        lex = v.plain.cast("string")
-        dt = F.lit("")
-    struct = F.struct(
-        F.lit("literal").alias("kind"),
-        lex.alias("v"),
-        F.lit("").alias("lang"),
-        dt.alias("dt"),
-    )
-    return F.when(lex.isNotNull(), struct)
+    return _as_struct(_compile(kb, expr, plan_vars))
 
 
 def _compile(kb, expr, plan_vars: set) -> _Val:
-    # operator application
-    if isinstance(expr, (list, tuple)) and expr and isinstance(expr[0], str) and expr[0] in FILTER_OPS:
+    # operator application — a 1-element list whose head is a bare symbol op
+    # ('!', '-', ...) is a raw-boxed literal (["!"] boxes the string "!"),
+    # not a zero-arg application; keyword ops (":bnode") always apply.
+    if (
+        isinstance(expr, (list, tuple))
+        and expr
+        and isinstance(expr[0], str)
+        and expr[0] in FILTER_OPS
+        and (len(expr) > 1 or expr[0].startswith(":"))
+    ):
         return _apply_op(kb, expr[0], expr[1:], plan_vars)
 
     # variable reference
@@ -230,7 +249,121 @@ def _apply_op(kb, op: str, args, plan_vars: set) -> _Val:
         c = {"*": l * r, "/": l / r, "+": l + r, "-": l - r}[op]
         return _Val(plain=c, is_num=True)
 
+    # ---- SPARQL 1.1 §17.4 string builtins ----
+    if op == ":strlen":
+        return _Val(plain=F.length(A[0].string()), is_num=True)
+    if op == ":substr":
+        start = A[1].numeric().cast("int")
+        length = A[2].numeric().cast("int") if len(A) > 2 else F.lit(1 << 30)
+        return _Val(plain=A[0].string().substr(start, length))
+    if op == ":ucase":
+        return _Val(plain=F.upper(A[0].string()))
+    if op == ":lcase":
+        return _Val(plain=F.lower(A[0].string()))
+    if op == ":contains":
+        return _Val(plain=F.contains(A[0].string(), A[1].string()), is_bool=True)
+    if op == ":strstarts":
+        return _Val(plain=F.startswith(A[0].string(), A[1].string()), is_bool=True)
+    if op == ":strends":
+        return _Val(plain=F.endswith(A[0].string(), A[1].string()), is_bool=True)
+    if op == ":concat":
+        return _Val(plain=F.concat(*[a.string() for a in A]))
+    if op == ":replace":
+        pat = _const_str(kb, args[1])
+        repl = _const_str(kb, args[2])
+        flags = _const_str(kb, args[3]) if len(args) > 3 else ""
+        if "i" in flags:
+            pat = "(?i)" + pat
+        return _Val(plain=F.regexp_replace(A[0].string(), pat, repl))
+    if op in (":strbefore", ":strafter"):
+        s, sub = A[0].string(), A[1].string()
+        pos = F.position(sub, s)  # 1-based; 0 = not found
+        if op == ":strbefore":
+            c = F.when(pos > 0, s.substr(F.lit(1), pos - 1)).otherwise(F.lit(""))
+        else:
+            c = F.when(
+                pos > 0, s.substr(pos + F.length(sub), F.lit(1 << 30))
+            ).otherwise(F.lit(""))
+        return _Val(plain=c)
+    if op == ":encode_for_uri":
+        # url_encode is form-encoding (space -> '+'); ENCODE_FOR_URI wants
+        # percent-encoding (space -> '%20')
+        return _Val(plain=F.replace(F.url_encode(A[0].string()), F.lit("+"), F.lit("%20")))
+
+    # ---- numeric builtins ----
+    if op == ":abs":
+        return _Val(plain=F.abs(A[0].numeric()), is_num=True)
+    if op == ":round":
+        return _Val(plain=F.round(A[0].numeric(), 0), is_num=True)
+    if op == ":ceil":
+        return _Val(plain=F.ceil(A[0].numeric()).cast("decimal(38,9)"), is_num=True)
+    if op == ":floor":
+        return _Val(plain=F.floor(A[0].numeric()).cast("decimal(38,9)"), is_num=True)
+
+    # ---- functional forms / term constructors ----
+    if op == ":if":
+        cond = A[0].boolean()
+        t, e = _as_struct(A[1]), _as_struct(A[2])
+        return _Val(struct=F.when(cond, t).otherwise(e))
+    if op == ":coalesce":
+        return _Val(struct=F.coalesce(*[_as_struct(a) for a in A]))
+    if op in (":iri", ":uri"):
+        return _Val(struct=_mk_term(F.lit("uri"), A[0].string()))
+    if op == ":strdt":
+        dt = A[1].struct["v"] if A[1].struct is not None else A[1].string()
+        return _Val(struct=_mk_term(F.lit("literal"), A[0].string(), dt=dt))
+    if op == ":strlang":
+        return _Val(
+            struct=_mk_term(F.lit("literal"), A[0].string(), lang=A[1].string())
+        )
+    if op == ":bnode":
+        # BNODE(str): deterministic label from the argument (a no-arg BNODE
+        # would be per-row nondeterministic — not supported; pass an
+        # expression that is unique per solution instead)
+        if not A:
+            raise ValueError("BNODE() without argument is not supported; "
+                             "use BNODE(expr) with a per-solution expression")
+        return _Val(struct=_mk_term(F.lit("bnode"), F.md5(A[0].string())))
+
+    # ---- hash builtins ----
+    if op == ":md5":
+        return _Val(plain=F.md5(A[0].string().cast("binary")))
+    if op == ":sha1":
+        return _Val(plain=F.sha1(A[0].string().cast("binary")))
+    if op in (":sha256", ":sha384", ":sha512"):
+        return _Val(plain=F.sha2(A[0].string().cast("binary"), int(op[4:])))
+
     raise ValueError(f"unknown filter operator {op!r}")
+
+
+def _mk_term(kind: Column, v: Column, lang: Column | None = None, dt: Column | None = None) -> Column:
+    return F.struct(
+        kind.alias("kind"),
+        v.alias("v"),
+        (lang if lang is not None else F.lit("")).alias("lang"),
+        (dt if dt is not None else F.lit("")).alias("dt"),
+    )
+
+
+def _as_struct(v: _Val) -> Column:
+    """Coerce a compiled operand to a term struct (for IF/COALESCE whose
+    branches must agree on type)."""
+    if v.struct is not None:
+        return v.struct
+    if v.is_bool:
+        lex = F.when(v.plain, F.lit("true")).when(~v.plain, F.lit("false"))
+        return F.when(
+            lex.isNotNull(),
+            _mk_term(F.lit("literal"), lex, dt=F.lit(_XSD + "boolean")),
+        )
+    if v.is_num:
+        num = v.plain.cast("decimal(38,9)")
+        return F.when(
+            num.isNotNull(),
+            _mk_term(F.lit("literal"), _trim_decimal(num), dt=F.lit(_XSD + "decimal")),
+        )
+    s = v.plain.cast("string")
+    return F.when(s.isNotNull(), _mk_term(F.lit("literal"), s))
 
 
 def _const_str(kb, x) -> str:

@@ -22,6 +22,16 @@ _FN_NAMES = {
     ":isBlank": "isBlank", ":isLiteral": "isLiteral", ":str": "str",
     ":lang": "lang", ":datatype": "datatype", ":sameTerm": "sameTerm",
     ":langMatches": "langMatches", ":regex": "regex",
+    ":strlen": "STRLEN", ":substr": "SUBSTR", ":ucase": "UCASE",
+    ":lcase": "LCASE", ":contains": "CONTAINS", ":strstarts": "STRSTARTS",
+    ":strends": "STRENDS", ":concat": "CONCAT", ":replace": "REPLACE",
+    ":strbefore": "STRBEFORE", ":strafter": "STRAFTER",
+    ":encode_for_uri": "ENCODE_FOR_URI", ":abs": "ABS", ":round": "ROUND",
+    ":ceil": "CEIL", ":floor": "FLOOR", ":if": "IF",
+    ":coalesce": "COALESCE", ":iri": "IRI", ":uri": "URI",
+    ":strdt": "STRDT", ":strlang": "STRLANG", ":bnode": "BNODE",
+    ":md5": "MD5", ":sha1": "SHA1", ":sha256": "SHA256",
+    ":sha384": "SHA384", ":sha512": "SHA512",
 }
 _BINARY = {"=", "!=", "<", ">", "<=", ">=", "*", "/", "+", "-"}
 

@@ -71,6 +71,7 @@ _KEYWORDS = {
     "prefix", "select", "ask", "construct", "where", "distinct", "reduced",
     "limit", "optional", "union", "filter", "graph", "count", "as",
     "bind", "values", "minus", "exists", "not", "undef", "group", "by",
+    "describe",
     "having", "order", "asc", "desc", "offset", "sum", "avg", "min", "max",
     "group_concat", "sample", "separator",
 }
@@ -310,6 +311,17 @@ class _Parser:
         "isblank": ":isBlank", "isliteral": ":isLiteral", "str": ":str",
         "lang": ":lang", "datatype": ":datatype", "sameterm": ":sameTerm",
         "langmatches": ":langMatches", "regex": ":regex",
+        # SPARQL 1.1 §17.4 builtins
+        "strlen": ":strlen", "substr": ":substr", "ucase": ":ucase",
+        "lcase": ":lcase", "contains": ":contains", "strstarts": ":strstarts",
+        "strends": ":strends", "concat": ":concat", "replace": ":replace",
+        "strbefore": ":strbefore", "strafter": ":strafter",
+        "encode_for_uri": ":encode_for_uri", "abs": ":abs", "round": ":round",
+        "ceil": ":ceil", "floor": ":floor", "if": ":if",
+        "coalesce": ":coalesce", "iri": ":iri", "uri": ":uri",
+        "strdt": ":strdt", "strlang": ":strlang", "bnode": ":bnode",
+        "md5": ":md5", "sha1": ":sha1", "sha256": ":sha256",
+        "sha384": ":sha384", "sha512": ":sha512",
     }
 
     def filter_expr(self):
@@ -377,7 +389,7 @@ class _Parser:
                 if self.peek() == ",":
                     self.next()
                     continue
-                args.append(self._primary())
+                args.append(self._or_expr())
             self.eat(")")
             if low == "regex":
                 # regex(text, "pat" [, "flags"]) — engine wants raw-boxed
@@ -469,6 +481,30 @@ class _Parser:
                 "order_by": mods["order_by"],
                 "offset": mods["offset"],
             }
+        if form == "describe":
+            subjects: list = []
+            while True:
+                t = self.peek()
+                if t is None or t.lower() in ("where", "{"):
+                    break
+                if t and t[0] in "?$":
+                    subjects.append("?/" + self.next()[1:])
+                else:
+                    subjects.append(self._term(self.next()))
+                if self.peek() is None:
+                    break
+            pattern = None
+            if self.at_kw("where"):
+                self.next()
+                pattern = self.group()
+            elif self.peek() == "{":
+                pattern = self.group()
+            if pattern is not None and (
+                len(subjects) != 1
+                or not (isinstance(subjects[0], str) and subjects[0].startswith("?/"))
+            ):
+                raise ValueError("DESCRIBE ?v WHERE { } takes exactly one var")
+            return {"type": "describe", "subjects": subjects, "pattern": pattern}
         if form == "construct":
             template = [tuple(tp) for tp in self.group()]
             self.eat("where")

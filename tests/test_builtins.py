@@ -1,0 +1,203 @@
+"""SPARQL 1.1 §17.4 builtin functions + DESCRIBE.
+
+The reference reaches all of these through Jena's evaluator (raw strings,
+sparql.clj:560-603); each maps to a single Catalyst expression here — no
+Python in any evaluation path.
+"""
+
+import pytest
+
+from tests.conftest import TEST_TRIPLES_NUMBERS, load_fixture
+
+PREFIXES = """
+PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+PREFIX ex: <http://www.example.org/>
+"""
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+def _one(kb, expr_sexpr, fixture=TEST_TRIPLES_NUMBERS):
+    """Evaluate one BIND expression against ex/a's givenname 'Alice'."""
+    load_fixture(kb, fixture)
+    rows = kb.query(
+        [
+            ("ex/a", "foaf/givenname", "?/g"),
+            (":bind", expr_sexpr, "?/out"),
+        ]
+    )
+    assert len(rows) == 1
+    return rows[0].get("out")
+
+
+def test_string_builtins(kb):
+    load_fixture(kb, TEST_TRIPLES_NUMBERS)
+    rows = kb.query(
+        [
+            ("ex/a", "foaf/givenname", "?/g"),
+            (":bind", (":strlen", "?/g"), "?/len"),
+            (":bind", (":ucase", "?/g"), "?/up"),
+            (":bind", (":lcase", "?/g"), "?/low"),
+            (":bind", (":substr", "?/g", 2, 3), "?/mid"),
+            (":bind", (":concat", "?/g", ["!"]), "?/bang"),
+            (":bind", (":strbefore", "?/g", ["ic"]), "?/pre"),
+            (":bind", (":strafter", "?/g", ["ic"]), "?/post"),
+            (":bind", (":replace", "?/g", ["i"], ["y"]), "?/repl"),
+        ]
+    )
+    b = rows[0]
+    assert b["len"].v == "5" and b["len"].dt == XSD + "decimal"
+    assert b["up"].v == "ALICE"
+    assert b["low"].v == "alice"
+    assert b["mid"].v == "lic"  # SPARQL SUBSTR is 1-based
+    assert b["bang"].v == "Alice!"
+    assert b["pre"].v == "Al"
+    assert b["post"].v == "e"
+    assert b["repl"].v == "Alyce"
+
+
+def test_string_predicates_in_filter(kb):
+    load_fixture(kb, TEST_TRIPLES_NUMBERS)
+    rows = kb.sparql_query(
+        PREFIXES
+        + """SELECT ?x ?f WHERE { ?x foaf:firstname ?f .
+              FILTER(CONTAINS(UCASE(?f), "RE")) }"""
+    )
+    assert {b["f"].v for b in rows} == {"Fred"}
+    rows = kb.sparql_query(
+        PREFIXES
+        + 'SELECT ?f WHERE { ?x foaf:firstname ?f . FILTER(STRSTARTS(?f, "Bo")) }'
+    )
+    assert {b["f"].v for b in rows} == {"Bob"}
+    rows = kb.sparql_query(
+        PREFIXES
+        + 'SELECT ?f WHERE { ?x foaf:firstname ?f . FILTER(STRENDS(?f, "ed")) }'
+    )
+    assert {b["f"].v for b in rows} == {"Fred"}
+
+
+def test_numeric_builtins(kb):
+    load_fixture(
+        kb,
+        [("ex/n", "ex/val", [-2.5, "xsd/double"])],
+    )
+    rows = kb.query(
+        [
+            ("ex/n", "ex/val", "?/v"),
+            (":bind", (":abs", "?/v"), "?/a"),
+            (":bind", (":ceil", "?/v"), "?/c"),
+            (":bind", (":floor", "?/v"), "?/f"),
+            (":bind", (":round", (":abs", "?/v")), "?/r"),
+        ]
+    )
+    b = rows[0]
+    assert b["a"].v == "2.5"
+    assert b["c"].v == "-2"
+    assert b["f"].v == "-3"
+    assert b["r"].v == "3"  # round half up
+
+
+def test_if_coalesce(kb):
+    load_fixture(kb, TEST_TRIPLES_NUMBERS)
+    rows = kb.sparql_query(
+        PREFIXES
+        + """SELECT ?x ?cls WHERE { ?x foaf:age ?a .
+              BIND(IF(?a >= 45, "old", "young") AS ?cls) }"""
+    )
+    got = {(b["x"].v.rsplit("/", 1)[-1], b["cls"].v) for b in rows}
+    assert got == {("a", "young"), ("b", "young"), ("c", "old")}
+    # COALESCE falls through unbound optional to the default
+    rows = kb.sparql_query(
+        PREFIXES
+        + """SELECT ?x ?g2 WHERE { ?x foaf:surname ?s .
+              OPTIONAL { ?x foaf:givenname ?g }
+              BIND(COALESCE(?g, "none") AS ?g2) }"""
+    )
+    got = {(b["x"].v.rsplit("/", 1)[-1], b["g2"].v) for b in rows}
+    assert got == {("a", "Alice"), ("b", "none"), ("c", "none")}
+
+
+def test_term_constructors(kb):
+    load_fixture(kb, TEST_TRIPLES_NUMBERS)
+    rows = kb.query(
+        [
+            ("ex/a", "foaf/givenname", "?/g"),
+            (":bind", (":iri", (":concat", ["http://x.org/"], "?/g")), "?/u"),
+            (":bind", (":strdt", "?/g", "xsd/string"), "?/typed"),
+            (":bind", (":strlang", "?/g", ["fr"]), "?/tagged"),
+            (":bind", (":bnode", "?/g"), "?/bn"),
+        ]
+    )
+    b = rows[0]
+    assert b["u"].kind == "uri" and b["u"].v == "http://x.org/Alice"
+    assert b["typed"].dt == XSD + "string"
+    assert b["tagged"].lang == "fr"
+    assert b["bn"].kind == "bnode" and len(b["bn"].v) == 32
+
+
+def test_hash_builtins(kb):
+    import hashlib
+
+    v = _one(kb, (":md5", "?/g"))
+    assert v.v == hashlib.md5(b"Alice").hexdigest()
+    kb2_rows = kb.query(
+        [("ex/a", "foaf/givenname", "?/g"), (":bind", (":sha256", "?/g"), "?/h")]
+    )
+    assert kb2_rows[0]["h"].v == hashlib.sha256(b"Alice").hexdigest()
+
+
+def test_encode_for_uri(kb):
+    load_fixture(kb, [("ex/a", "ex/p", ["a b&c"])])
+    rows = kb.query(
+        [("ex/a", "ex/p", "?/v"), (":bind", (":encode_for_uri", "?/v"), "?/e")]
+    )
+    assert rows[0]["e"].v == "a%20b%26c"
+
+
+def test_builtin_emit_roundtrip(kb):
+    from kr_spark.plans.sparql_emit import emit_select
+    from kr_spark.plans.sparql_parser import parse_sparql
+
+    load_fixture(kb, TEST_TRIPLES_NUMBERS)
+    pattern = [
+        ("?/x", "foaf/firstname", "?/f"),
+        (":contains", (":ucase", "?/f"), ["RE"]),
+    ]
+    text = emit_select(kb, pattern)
+    q = parse_sparql(kb, text)
+    rows = kb.query(q["pattern"])
+    assert {b["f"].v for b in rows} == {"Fred"}
+
+
+# ---- DESCRIBE ----
+
+BNODE_FIXTURE = [
+    ("ex/a", "foaf/name", "Alice"),
+    ("ex/a", "ex/address", "_/addr1"),
+    ("_/addr1", "ex/city", "Springfield"),
+    ("_/addr1", "ex/geo", "_/pt1"),
+    ("_/pt1", "ex/lat", [1, "xsd/integer"]),
+    ("ex/b", "foaf/name", "Bob"),
+]
+
+
+def test_describe_cbd(kb):
+    load_fixture(kb, BNODE_FIXTURE)
+    rows = kb.describe("ex/a").collect()
+    # 2 direct triples + 2 via addr1 + 1 via pt1; Bob excluded
+    assert len(rows) == 5
+    assert not any(r["s"].endswith("/b") for r in rows)
+
+
+def test_sparql_describe_string(kb):
+    load_fixture(kb, BNODE_FIXTURE)
+    df = kb.sparql_describe(
+        "PREFIX ex: <http://www.example.org/> DESCRIBE ex:a"
+    )
+    assert df.count() == 5
+    df2 = kb.sparql_describe(
+        PREFIXES + 'DESCRIBE ?x WHERE { ?x foaf:name "Bob"@en . }'
+    )
+    rows = df2.collect()
+    assert len(rows) == 1 and rows[0]["o"] == "Bob"
