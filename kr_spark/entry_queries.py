@@ -1083,7 +1083,77 @@ def q_sparql_order_offset(spark, sf_dir):
     return df.select(F.col("name")["v"].alias("cname"))
 
 
+def q_sparql_builtins(spark, sf_dir):
+    """SPARQL 1.1 §17.4 builtins (STRLEN/LCASE/SUBSTR/STRAFTER/REPLACE/IF/
+    MD5) through the raw-string surface — every one compiles to a single
+    Catalyst expression in one projection (no Python, one scan)."""
+    kb = make_kb(spark, sf_dir)
+    df = kb.sparql_query_df(
+        """SELECT ?name ?len ?low ?pre ?tail ?rep ?sign ?h
+           WHERE { ?c a ty:Customer . ?c foaf:name ?name .
+                   ?c rel:acctbal ?bal .
+                   FILTER(STRSTARTS(?name, "Customer"))
+                   BIND(STRLEN(?name) AS ?len)
+                   BIND(LCASE(?name) AS ?low)
+                   BIND(SUBSTR(?name, 1, 8) AS ?pre)
+                   BIND(STRAFTER(?name, "#") AS ?tail)
+                   BIND(REPLACE(?name, "Customer", "Cst") AS ?rep)
+                   BIND(IF(?bal >= 0, "pos", "neg") AS ?sign)
+                   BIND(MD5(?name) AS ?h) }"""
+    )
+    return df.select(
+        F.col("name")["v"].alias("name"),
+        F.col("len")["v"].cast("long").alias("len"),
+        F.col("low")["v"].alias("low"),
+        F.col("pre")["v"].alias("pre"),
+        F.col("tail")["v"].alias("tail"),
+        F.col("rep")["v"].alias("rep"),
+        F.col("sign")["v"].alias("sign"),
+        F.col("h")["v"].alias("h"),
+    )
+
+
+def q_describe(spark, sf_dir):
+    """DESCRIBE through the raw-string surface: concise bounded description
+    of three nation URIs (all their triples; the bnode-closure loop exits
+    immediately on this KB). One isin-filtered scan of the triple union —
+    the constant subjects prune every branch without a subject column."""
+    kb = make_kb(spark, sf_dir)
+    df = kb.sparql_describe("DESCRIBE kgn:1 kgn:2 kgn:3")
+    return df.select("s", "p", "o")
+
+
 ORACLES = {
+    "q_sparql_builtins": """
+        SELECT c_name AS name,
+               CAST(LENGTH(c_name) AS BIGINT) AS len,
+               LOWER(c_name) AS low,
+               SUBSTR(c_name, 1, 8) AS pre,
+               CASE WHEN POSITION('#' IN c_name) > 0
+                    THEN SUBSTR(c_name, POSITION('#' IN c_name) + 1)
+                    ELSE '' END AS tail,
+               REPLACE(c_name, 'Customer', 'Cst') AS rep,
+               CASE WHEN c_acctbal >= 0 THEN 'pos' ELSE 'neg' END AS sign,
+               MD5(c_name) AS h
+        FROM customer WHERE c_name LIKE 'Customer%'
+    """,
+    "q_describe": f"""
+        SELECT {_NA} AS s, '{RDF_TYPE}' AS p, '{TY}Nation' AS o
+        FROM nation WHERE n_nationkey IN (1,2,3)
+        UNION ALL
+        SELECT {_NA}, '{FOAF_NAME}', n_name
+        FROM nation WHERE n_nationkey IN (1,2,3)
+        UNION ALL
+        SELECT {_NA}, '{RE}inRegion', {_RG_N}
+        FROM nation WHERE n_nationkey IN (1,2,3)
+        UNION ALL
+        SELECT {_NA}, '{RE}locatedIn', {_RG_N}
+        FROM nation WHERE n_nationkey IN (1,2,3)
+        UNION ALL
+        SELECT {_NA}, '{RE}parent',
+               '{NAT}' || CAST(CAST(FLOOR((n_nationkey - 1) / 2) AS BIGINT) AS VARCHAR)
+        FROM nation WHERE n_nationkey IN (1,2,3)
+    """,
     "q_sparql_agg": f"""
         SELECT {_NA_C} AS nat, COUNT(*) AS cnt,
                CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT)
@@ -1451,6 +1521,8 @@ ORACLES = {
 
 
 QUERIES = {
+    "q_sparql_builtins": q_sparql_builtins,
+    "q_describe": q_describe,
     "q_sparql_agg": q_sparql_agg,
     "q_sparql_minus": q_sparql_minus,
     "q_sparql_not_exists": q_sparql_not_exists,

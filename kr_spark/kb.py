@@ -477,6 +477,25 @@ class KB:
 
     # ---- raw SPARQL string entry points (Q9, sparql.clj:560-603) ----
 
+    def sparql(self, text: str):
+        """One entry point for any SPARQL string, dispatched on query form:
+        SELECT -> list of binding dicts, ASK -> bool, COUNT -> int,
+        CONSTRUCT/DESCRIBE -> triple DataFrame."""
+        from kr_spark.plans.sparql_parser import parse_sparql
+
+        form = parse_sparql(self, text)["type"]
+        if form == "select":
+            return self.sparql_query(text)
+        if form == "ask":
+            return self.sparql_ask(text)
+        if form == "count":
+            return self.sparql_count(text)
+        if form == "construct":
+            return self.sparql_construct(text)
+        if form == "describe":
+            return self.sparql_describe(text)
+        raise ValueError(f"unsupported SPARQL form {form!r}")
+
     def sparql_query(self, text: str) -> list[dict]:
         from kr_spark.plans.sparql_parser import sparql_query
 
@@ -647,6 +666,27 @@ class KB:
         from kr_spark.plans.compiler import instantiate_template
 
         return instantiate_template(self, template, pattern)
+
+    def show(self, sym, limits: tuple = (10, 10, 10)) -> dict:
+        """REPL helper (repl_utils.clj:20-27 show-sym): the triples around a
+        symbol — as subject, predicate, and object — capped per role. Three
+        limit-pushed pattern queries (limit reaches the scan; this never
+        collects more than sum(limits) rows). Returns {'subject': [...],
+        'predicate': [...], 'object': [...]} of binding tuples."""
+        s_lim, p_lim, o_lim = limits
+
+        def part(pattern, vars_, lim):
+            if not lim:
+                return []
+            rows = self.query(pattern, select_vars=vars_, limit=lim)
+            names = [self.term(v).v for v in vars_]
+            return [tuple(b.get(n) for n in names) for b in rows]
+
+        return {
+            "subject": part([(sym, "?/p", "?/o")], ["?/p", "?/o"], s_lim),
+            "predicate": part([("?/s", sym, "?/o")], ["?/s", "?/o"], p_lim),
+            "object": part([("?/s", "?/p", sym)], ["?/s", "?/p"], o_lim),
+        }
 
     def construct(self, create_pattern, pattern) -> DataFrame:
         """CONSTRUCT: instantiate m triple templates per binding; duplicates

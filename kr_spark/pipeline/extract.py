@@ -39,26 +39,44 @@ _TRIGGERS = [(" works at ", WORKS_AT), (" knows ", KNOWS), (" emailed ", EMAILED
 
 
 def extract_relations_expr(transcripts: DataFrame) -> DataFrame:
-    """Catalyst implementation: split on the trigger phrase, strip ' .'."""
-    outs = []
-    for phrase, pred in _TRIGGERS:
-        hit = transcripts.filter(F.col("text").contains(phrase))
-        subj = F.split(F.col("text"), phrase).getItem(0)
-        rest = F.split(F.col("text"), phrase).getItem(1)
-        obj = F.regexp_replace(rest, r" \.$", "")
-        outs.append(
-            hit.select(
-                subj.alias("subj_surface"),
+    """Catalyst implementation: split on the trigger phrase, strip ' .'.
+
+    Single-scan shape: one array<struct<pred, parts>> per row (one split per
+    trigger), exploded, then filtered on the exploded attribute. Two scale
+    properties fall out of this:
+
+      * ONE pass over the input instead of one filtered scan per trigger
+        (contains() isn't a parquet-pushable predicate, so the 3-branch
+        union really did read the table 3x);
+      * the match filter references the Generate output, which predicate
+        pushdown cannot move below the explode — so when the input is
+        itself an expression-generated DataFrame (transcripts_from_ids),
+        the generator's big CASE/char tree is NOT re-inlined into a filter
+        condition. The pushed-down form blew past janino's 64KB method
+        limit and silently dropped the whole fused stage to interpreted
+        eval (observed: 25k-line processNext, 3x per trigger).
+    """
+    matches = F.array(
+        *[
+            F.struct(
                 F.lit(pred).alias("pred"),
-                obj.alias("obj_surface"),
-                F.col("conv_id"),
-                F.col("turn_idx"),
+                F.split(F.col("text"), phrase).alias("parts"),
             )
-        )
-    df = outs[0]
-    for o in outs[1:]:
-        df = df.unionByName(o)
-    return df
+            for phrase, pred in _TRIGGERS
+        ]
+    )
+    exploded = transcripts.select(
+        F.col("conv_id"), F.col("turn_idx"), F.explode(matches).alias("m")
+    )
+    return exploded.filter(F.size("m.parts") > 1).select(
+        F.col("m.parts").getItem(0).alias("subj_surface"),
+        F.col("m.pred").alias("pred"),
+        F.regexp_replace(F.col("m.parts").getItem(1), r" \.$", "").alias(
+            "obj_surface"
+        ),
+        F.col("conv_id"),
+        F.col("turn_idx"),
+    )
 
 
 def extract_relations_arrow(transcripts: DataFrame) -> DataFrame:

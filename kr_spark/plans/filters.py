@@ -74,6 +74,18 @@ FILTER_OPS = frozenset(
         ":sha256",
         ":sha384",
         ":sha512",
+        ":isNumeric",
+        # xsd:dateTime accessors (SPARQL 1.1 §17.4.5) — lexical-form field
+        # extraction, so no session-timezone coupling. NOW/RAND/UUID/STRUUID
+        # are deliberately unsupported: per-row nondeterminism breaks
+        # deterministic resume (same stance as no-arg BNODE).
+        ":year",
+        ":month",
+        ":day",
+        ":hours",
+        ":minutes",
+        ":seconds",
+        ":tz",
     }
 )
 
@@ -324,6 +336,30 @@ def _apply_op(kb, op: str, args, plan_vars: set) -> _Val:
             raise ValueError("BNODE() without argument is not supported; "
                              "use BNODE(expr) with a per-solution expression")
         return _Val(struct=_mk_term(F.lit("bnode"), F.md5(A[0].string())))
+
+    if op == ":isNumeric":
+        return _Val(plain=A[0].is_numeric_pred(), is_bool=True)
+
+    # ---- xsd:dateTime accessors (§17.4.5), on the lexical form
+    # YYYY-MM-DDTHH:MM:SS(.fff)?(Z|±HH:MM)? ----
+    _DT_FIELDS = {
+        ":year": r"^(-?\d{4,})-",
+        ":month": r"^-?\d{4,}-(\d{2})-",
+        ":day": r"^-?\d{4,}-\d{2}-(\d{2})T",
+        ":hours": r"T(\d{2}):",
+        ":minutes": r"T\d{2}:(\d{2}):",
+        ":seconds": r"T\d{2}:\d{2}:(\d{2}(?:\.\d+)?)",
+    }
+    if op in _DT_FIELDS:
+        f = F.regexp_extract(A[0].string(), _DT_FIELDS[op], 1)
+        # empty extract (not a dateTime lexical form) -> NULL (SPARQL error)
+        return _Val(
+            plain=F.when(f != "", f).cast("decimal(38,9)"), is_num=True
+        )
+    if op == ":tz":
+        return _Val(
+            plain=F.regexp_extract(A[0].string(), r"(Z|[+-]\d{2}:\d{2})$", 1)
+        )
 
     # ---- hash builtins ----
     if op == ":md5":

@@ -32,6 +32,9 @@ _FN_NAMES = {
     ":strdt": "STRDT", ":strlang": "STRLANG", ":bnode": "BNODE",
     ":md5": "MD5", ":sha1": "SHA1", ":sha256": "SHA256",
     ":sha384": "SHA384", ":sha512": "SHA512",
+    ":isNumeric": "isNumeric", ":year": "YEAR", ":month": "MONTH",
+    ":day": "DAY", ":hours": "HOURS", ":minutes": "MINUTES",
+    ":seconds": "SECONDS", ":tz": "TZ",
 }
 _BINARY = {"=", "!=", "<", ">", "<=", ">=", "*", "/", "+", "-"}
 

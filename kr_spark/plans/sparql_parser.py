@@ -322,6 +322,9 @@ class _Parser:
         "strdt": ":strdt", "strlang": ":strlang", "bnode": ":bnode",
         "md5": ":md5", "sha1": ":sha1", "sha256": ":sha256",
         "sha384": ":sha384", "sha512": ":sha512",
+        "isnumeric": ":isNumeric", "year": ":year", "month": ":month",
+        "day": ":day", "hours": ":hours", "minutes": ":minutes",
+        "seconds": ":seconds", "tz": ":tz",
     }
 
     def filter_expr(self):

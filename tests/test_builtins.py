@@ -170,6 +170,47 @@ def test_builtin_emit_roundtrip(kb):
     assert {b["f"].v for b in rows} == {"Fred"}
 
 
+def test_datetime_accessors(kb):
+    load_fixture(
+        kb,
+        [("ex/e", "ex/when", ["2011-01-10T14:45:13.815-05:00", "xsd/dateTime"])],
+    )
+    rows = kb.query(
+        [
+            ("ex/e", "ex/when", "?/t"),
+            (":bind", (":year", "?/t"), "?/y"),
+            (":bind", (":month", "?/t"), "?/mo"),
+            (":bind", (":day", "?/t"), "?/d"),
+            (":bind", (":hours", "?/t"), "?/h"),
+            (":bind", (":minutes", "?/t"), "?/mi"),
+            (":bind", (":seconds", "?/t"), "?/s"),
+            (":bind", (":tz", "?/t"), "?/tz"),
+        ]
+    )
+    b = rows[0]
+    assert b["y"].v == "2011"
+    assert b["mo"].v == "1"
+    assert b["d"].v == "10"
+    assert b["h"].v == "14"
+    assert b["mi"].v == "45"
+    assert b["s"].v == "13.815"
+    assert b["tz"].v == "-05:00"
+
+
+def test_is_numeric(kb):
+    load_fixture(kb, TEST_TRIPLES_NUMBERS)
+    rows = kb.sparql_query(
+        PREFIXES
+        + "SELECT ?x ?a WHERE { ?x foaf:age ?a . FILTER(isNumeric(?a)) }"
+    )
+    assert len(rows) == 3
+    rows = kb.sparql_query(
+        PREFIXES
+        + "SELECT ?x ?n WHERE { ?x foaf:firstname ?n . FILTER(isNumeric(?n)) }"
+    )
+    assert rows == []
+
+
 # ---- DESCRIBE ----
 
 BNODE_FIXTURE = [

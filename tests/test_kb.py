@@ -159,3 +159,22 @@ def test_add_unchecked_then_compact(kb):
     kb.compact()
     assert kb.size() == 2
     assert kb.ask_rdf("ex/c", "ex/p", "ex/d")
+
+
+def test_show_sym(kb):
+    # repl_utils.clj:20-27 show-sym: triples around a symbol by role,
+    # limit-capped per role
+    kb.add_statements(
+        [
+            ("ex/a", "ex/p", "ex/b"),
+            ("ex/a", "ex/q", "ex/c"),
+            ("ex/b", "ex/p", "ex/a"),
+            ("ex/x", "ex/a", "ex/y"),
+        ]
+    )
+    out = kb.show("ex/a")
+    assert len(out["subject"]) == 2  # a as subject: p->b, q->c
+    assert len(out["predicate"]) == 1  # x a y
+    assert len(out["object"]) == 1  # b p a
+    capped = kb.show("ex/a", limits=(1, 0, 1))
+    assert len(capped["subject"]) == 1 and capped["predicate"] == []

@@ -56,6 +56,35 @@ def test_whole_stage_codegen_active(ekb):
     assert "*(1)" in plan
 
 
+def test_generator_extractor_fusion_stays_under_codegen_limit(spark):
+    # transcript generator fused with the relation extractor in one
+    # whole-stage span must COMPILE: the previous per-trigger
+    # filter(contains(text)) shape let predicate pushdown re-inline the
+    # generator's CASE/char tree into one un-splittable filter condition
+    # (25k-line processNext -> janino 64KB failure -> silent interpreted
+    # eval, 3x per trigger). maxMethodCodeSize:-1 in the codegen explain
+    # header is the failure marker.
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from kr_spark.pipeline.extract import extract_relations_expr
+    from kr_spark.pipeline.transcripts import transcripts_from_ids
+
+    df = extract_relations_expr(transcripts_from_ids(spark.range(800)))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("codegen")
+    out = buf.getvalue()
+    sizes = [int(s) for s in re.findall(r"maxMethodCodeSize:(-?\d+)", out)]
+    assert sizes, "no codegen subtrees found"
+    assert all(0 < s < 65536 for s in sizes), f"codegen failed/overflowed: {sizes}"
+    # single-scan extractor: generation + explode + filter fuse into ONE span
+    assert out.count("== Subtree") == 1
+
+
 def test_simhash_stays_in_codegen(spark):
     # the explode+partial-agg simhash must not trip the 64KB codegen limit
     from pyspark.sql import functions as F

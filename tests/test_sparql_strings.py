@@ -237,3 +237,16 @@ def test_sparql_count_distinct(kb):
     )
     assert kb.sparql_count(PREFIXES + "SELECT ?n " + base) == 2
     assert kb.sparql_count(PREFIXES + "SELECT DISTINCT ?n " + base) == 1
+
+
+def test_sparql_generic_dispatch(kb):
+    # kb.sparql: one entry point, result type follows the query form
+    from tests.conftest import TEST_TRIPLES_LANG, load_fixture
+
+    load_fixture(kb, TEST_TRIPLES_LANG)
+    p = "PREFIX foaf: <http://xmlns.com/foaf/0.1/> "
+    rows = kb.sparql(p + "SELECT ?n WHERE { ?x foaf:firstname ?n . }")
+    assert isinstance(rows, list) and len(rows) == 3
+    assert kb.sparql(p + 'ASK { ?x foaf:firstname "Alice"@en . }') is True
+    n = kb.sparql(p + "SELECT (COUNT(*) AS ?c) WHERE { ?x foaf:firstname ?n . }")
+    assert n == 3
