@@ -194,15 +194,27 @@ def compile_pattern(kb, clauses, graph_scope: str | None = None) -> CompiledPatt
     # BIND (SPARQL 1.1 §10.1): extend each solution with a computed term.
     # Applied after the group's pattern joins (subset: the bound var cannot
     # feed a triple pattern of the SAME group; use a nested group for that).
-    for expr, var in binds:
-        vt = kb.term(var)
-        if vt.v in acc.all_vars:
-            raise ValueError(f"BIND would rebind in-scope var ?{vt.v}")
-        col = compile_value_expr(kb, expr, set(acc.all_vars))
+    # Consecutive BINDs that don't read earlier BINDs of the same run are
+    # applied in ONE withColumns call: each withColumn re-analyzes the whole
+    # logical plan (expensive over a many-branch derived union — 8 chained
+    # BINDs cost ~7 s of driver time; batched, one analysis).
+    i = 0
+    while i < len(binds):
+        batch: dict[str, Column] = {}
+        while i < len(binds):
+            expr, var = binds[i]
+            vt = kb.term(var)
+            if vt.v in acc.all_vars or vt.v in batch:
+                raise ValueError(f"BIND would rebind in-scope var ?{vt.v}")
+            if _expr_refs_any(expr, set(batch)):
+                break  # reads a var bound in this batch -> next batch
+            batch[vt.v] = compile_value_expr(kb, expr, set(acc.all_vars))
+            i += 1
+        new = list(batch)
         acc = CompiledPattern(
-            acc.df.withColumn(vt.v, col),
-            acc.all_vars + [vt.v],
-            acc.visible_vars + [vt.v],
+            acc.df.withColumns(batch),
+            acc.all_vars + new,
+            acc.visible_vars + new,
         )
 
     # MINUS (SPARQL 1.1 §8.3): anti-join on compatible bindings; a
@@ -220,6 +232,17 @@ def compile_pattern(kb, clauses, graph_scope: str | None = None) -> CompiledPatt
     for f in filters:
         acc.df = acc.df.filter(compile_filter_expr(kb, f, acc.df, set(acc.all_vars)))
     return acc
+
+
+def _expr_refs_any(expr, names: set) -> bool:
+    """Does a filter/BIND s-expression reference any of these var names?"""
+    if isinstance(expr, str) and expr.startswith("?/"):
+        return expr[2:] in names
+    if isinstance(expr, Term) and expr.kind == KIND_VAR:
+        return expr.v in names
+    if isinstance(expr, (list, tuple)):
+        return any(_expr_refs_any(x, names) for x in expr)
+    return False
 
 
 def _boundness_key(tp) -> int:

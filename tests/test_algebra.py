@@ -53,6 +53,25 @@ def test_bind_boolean_and_str(kb):
     assert by["a"]["iri_str"].dt == ""  # plain literal
 
 
+def test_bind_chain_references_earlier_bind(kb):
+    # BINDs batch into one withColumns for plan-analysis cost; a BIND that
+    # reads an earlier BIND of the same run must still see its value
+    # (batch split point)
+    load_fixture(kb, TEST_TRIPLES_NUMBERS)
+    rows = kb.query(
+        [
+            ("?/x", "foaf/age", "?/a"),
+            (":bind", ("*", "?/a", 2), "?/dbl"),
+            (":bind", (":strlen", "?/x"), "?/len"),  # independent: same batch
+            (":bind", ("+", "?/dbl", 1), "?/dblp1"),  # reads ?dbl: new batch
+        ]
+    )
+    by = {_ln(b["x"]): b for b in rows}
+    assert by["c"]["dbl"].v == "100"
+    assert by["c"]["dblp1"].v == "101"
+    assert by["a"]["dblp1"].v == "81"
+
+
 def test_bind_rejects_in_scope_var(kb):
     load_fixture(kb, TEST_TRIPLES_NUMBERS)
     with pytest.raises(ValueError, match="rebind"):
