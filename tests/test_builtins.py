@@ -147,6 +147,24 @@ def test_hash_builtins(kb):
     assert kb2_rows[0]["h"].v == hashlib.sha256(b"Alice").hexdigest()
 
 
+def test_strbefore_strafter_edges(kb):
+    # SPARQL 1.1 §17.4.3.8-9: empty separator -> STRBEFORE = "", STRAFTER =
+    # the whole string; missing separator -> "" for both
+    load_fixture(kb, [("ex/a", "ex/p", ["abc"])])
+    rows = kb.query(
+        [
+            ("ex/a", "ex/p", "?/v"),
+            (":bind", (":strbefore", "?/v", [""]), "?/be"),
+            (":bind", (":strafter", "?/v", [""]), "?/ae"),
+            (":bind", (":strbefore", "?/v", ["zz"]), "?/bm"),
+            (":bind", (":strafter", "?/v", ["zz"]), "?/am"),
+        ]
+    )
+    b = rows[0]
+    assert b["be"].v == "" and b["ae"].v == "abc"
+    assert b["bm"].v == "" and b["am"].v == ""
+
+
 def test_encode_for_uri(kb):
     load_fixture(kb, [("ex/a", "ex/p", ["a b&c"])])
     rows = kb.query(
