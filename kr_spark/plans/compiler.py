@@ -115,10 +115,22 @@ def _looks_like_term_box(x) -> bool:
     )
 
 
-def compile_pattern(kb, clauses, graph_scope: str | None = None) -> CompiledPattern:
+def compile_pattern(
+    kb,
+    clauses,
+    graph_scope: str | None = None,
+    params: CompiledPattern | None = None,
+) -> CompiledPattern:
     """Compile a clause list to a plan. graph_scope: None = all graphs
     (quad-store union semantics, matching reference visibility in
-    test_rdf.clj:129-153); a URI = only that named graph."""
+    test_rdf.clj:129-153); a URI = only that named graph.
+
+    params: correlated parameter bindings for EXISTS substitution semantics
+    (SPARQL 1.1 §8.1.1 / Jena's substitute): distinct outer bindings of vars
+    the inner group references only in expressions. Joined in before BIND /
+    FILTER apply so those expressions see each outer value (standard
+    decorrelation — the same rewrite Catalyst uses for correlated EXISTS
+    SQL subqueries it cannot push down)."""
     triples, optionals, unions, filters, groups = [], [], [], [], []
     binds, values_cls, minuses, exists_cls = [], [], [], []
     for clause in clauses:
@@ -156,11 +168,11 @@ def compile_pattern(kb, clauses, graph_scope: str | None = None) -> CompiledPatt
     for tp in sorted(triples, key=lambda t: _order_key(kb, t, stats)):
         plans.append(_compile_triple(kb, tp, graph_scope))
     for g in groups:
-        plans.append(compile_pattern(kb, g, graph_scope))
+        plans.append(compile_pattern(kb, g, graph_scope, params=_params_for(kb, g, params)))
     for u in unions:
-        plans.append(_compile_union(kb, u, graph_scope))
+        plans.append(_compile_union(kb, u, graph_scope, params=params))
 
-    if not plans and not optionals and not values_cls:
+    if not plans and not optionals and not values_cls and params is None:
         raise ValueError("empty pattern")
 
     if plans:
@@ -176,10 +188,19 @@ def compile_pattern(kb, clauses, graph_scope: str | None = None) -> CompiledPatt
     else:
         acc = None
 
+    # EXISTS substitution params: ensure every param var is a column before
+    # BIND/FILTER compile. Sub-plans above that referenced a param already
+    # joined their narrowed copy and equi-join here; a NULL param column
+    # (e.g. a UNION branch that never referenced it) is UNDEF-compatible —
+    # that solution holds for every param value, so it fans out and
+    # coalesces, exactly like a VALUES UNDEF cell.
+    if params is not None:
+        acc = params if acc is None else _join_params(acc, params)
+
     for opt in optionals:
         # (':optional', clause, ...) — payload is a clause list; the kr form
         # (:optional ((s p o))) arrives as one nested group and recurses.
-        sub = compile_pattern(kb, list(opt), graph_scope)
+        sub = compile_pattern(kb, list(opt), graph_scope, params=_params_for(kb, list(opt), params))
         acc = sub if acc is None else _join(acc, sub, how="left")
 
     # VALUES (SPARQL 1.1 §10.2): inline data joined with UNDEF-compatible
@@ -225,9 +246,27 @@ def compile_pattern(kb, clauses, graph_scope: str | None = None) -> CompiledPatt
 
     # FILTER [NOT] EXISTS (SPARQL 1.1 §8.1): semi/anti join on the shared
     # variables (unbound-left-var = compatible, per substitution semantics).
+    # Outer vars the inner group references ONLY in expressions (FILTER/BIND
+    # — not bound by any inner triple) need real substitution: distinct
+    # outer bindings of those vars are joined into the inner plan as params
+    # so its expressions see each value, and the semi/anti join matches them
+    # strictly (an outer-unbound correlated var = filter error = false, so
+    # EXISTS fails — Jena substitution leaves the var free and the filter
+    # errors out the same way).
     for positive, cl in exists_cls:
-        sub = compile_pattern(kb, list(cl), graph_scope)
-        acc = _apply_exists(acc, sub, positive)
+        inner = list(cl)
+        bound, expr_refs = _pattern_var_usage(kb, inner)
+        corr = [v for v in acc.all_vars if v in expr_refs and v not in bound]
+        if corr:
+            pdf = acc.df.select(*corr)
+            for v in corr:  # NULL params can never match strictly — drop now
+                pdf = pdf.filter(F.col(v).isNotNull())
+            eparams = CompiledPattern(pdf.distinct(), list(corr), list(corr))
+            sub = compile_pattern(kb, inner, graph_scope, params=eparams)
+            acc = _apply_exists(acc, sub, positive, strict_vars=frozenset(corr))
+        else:
+            sub = compile_pattern(kb, inner, graph_scope)
+            acc = _apply_exists(acc, sub, positive)
 
     for f in filters:
         acc.df = acc.df.filter(compile_filter_expr(kb, f, acc.df, set(acc.all_vars)))
@@ -243,6 +282,81 @@ def _expr_refs_any(expr, names: set) -> bool:
     if isinstance(expr, (list, tuple)):
         return any(_expr_refs_any(x, names) for x in expr)
     return False
+
+
+def _collect_expr_vars(kb, expr, out: set) -> None:
+    """Collect var names referenced by a filter/BIND s-expression."""
+    if isinstance(expr, str) and expr.startswith("?/"):
+        out.add(expr[2:])
+        return
+    if isinstance(expr, Term) and expr.kind == KIND_VAR:
+        out.add(expr.v)
+        return
+    if isinstance(expr, (list, tuple)):
+        for x in expr:
+            _collect_expr_vars(kb, x, out)
+
+
+def _pattern_var_usage(kb, clauses) -> tuple[set, set]:
+    """-> (vars bound by triple patterns / BIND / VALUES anywhere in the
+    group, vars referenced in expression position). Used to detect EXISTS
+    correlation: a var referenced only in expressions and never bound is a
+    substitution parameter. MINUS subtrees are skipped — SPARQL §8.3
+    evaluates MINUS without substitution, so outer refs there stay unbound
+    (and the existing NULL-struct compile already yields remove-nothing)."""
+    bound: set = set()
+    refs: set = set()
+    for clause in clauses:
+        kind, payload = _classify(kb, clause)
+        if kind == "triple":
+            for slot in (payload[0], payload[2]) + (
+                (payload[3],) if len(payload) == 4 else ()
+            ):
+                t = _slot_var(kb, slot)
+                if t is not None:
+                    bound.add(t.v)
+            if not isinstance(payload[1], (list, tuple)):
+                t = _slot_var(kb, payload[1])
+                if t is not None:
+                    bound.add(t.v)
+        elif kind in ("group", "optional"):
+            b, r = _pattern_var_usage(kb, list(payload))
+            bound |= b
+            refs |= r
+        elif kind == "union":
+            for branch in payload:
+                b, r = _pattern_var_usage(kb, list(branch))
+                bound |= b
+                refs |= r
+        elif kind == "filter":
+            _collect_expr_vars(kb, payload, refs)
+        elif kind == "bind":
+            expr, var = payload
+            _collect_expr_vars(kb, expr, refs)
+            bound.add(kb.term(var).v)
+        elif kind == "values":
+            for v in payload[0]:
+                bound.add(kb.term(v).v)
+        elif kind in ("exists", "not-exists"):
+            b, r = _pattern_var_usage(kb, list(payload))
+            refs |= r - b  # inner-bound vars don't escape; free refs do
+        # minus: skipped (no substitution into MINUS)
+    return bound, refs
+
+
+def _params_for(kb, clauses, params: CompiledPattern | None) -> CompiledPattern | None:
+    """Narrow EXISTS substitution params to the subset a subtree actually
+    references in expression position without binding — so only those
+    subtrees pay the param join, and the parent then equi-joins on them."""
+    if params is None:
+        return None
+    bound, refs = _pattern_var_usage(kb, clauses)
+    need = [v for v in params.all_vars if v in refs and v not in bound]
+    if not need:
+        return None
+    if len(need) == len(params.all_vars):
+        return params
+    return CompiledPattern(params.df.select(*need).distinct(), need, need)
 
 
 def _boundness_key(tp) -> int:
@@ -439,6 +553,34 @@ def _join_values(acc: CompiledPattern, vp: CompiledPattern) -> CompiledPattern:
     return CompiledPattern(df, all_vars, visible)
 
 
+def _join_params(acc: CompiledPattern, params: CompiledPattern) -> CompiledPattern:
+    """Join EXISTS substitution params into an inner plan. Same UNDEF
+    semantics as _join_values but with the NULL on the LEFT (a sub-plan row
+    that never bound the param var holds under every substitution), and no
+    forced broadcast — params are distinct outer bindings of arbitrary
+    cardinality, so the join strategy is left to Catalyst/AQE."""
+    shared = [v for v in acc.all_vars if v in set(params.all_vars)]
+    p_only = [v for v in params.all_vars if v not in set(acc.all_vars)]
+    if not shared:
+        df = acc.df.crossJoin(params.df)
+        return CompiledPattern(
+            df, acc.all_vars + p_only, acc.visible_vars + list(p_only)
+        )
+    renames = {v: _fresh("par") for v in shared}
+    pdf = params.df
+    for v, tmp in renames.items():
+        pdf = pdf.withColumnRenamed(v, tmp)
+    cond = None
+    for v, tmp in renames.items():
+        c = F.col(v).isNull() | (F.col(v) == F.col(tmp))
+        cond = c if cond is None else (cond & c)
+    df = acc.df.join(pdf, cond, "inner")
+    for v, tmp in renames.items():
+        df = df.withColumn(v, F.coalesce(F.col(v), F.col(tmp)))
+    df = df.drop(*renames.values())
+    return CompiledPattern(df, acc.all_vars + p_only, acc.visible_vars + list(p_only))
+
+
 def _compat_join(acc: CompiledPattern, sub: CompiledPattern, shared: list[str]):
     """(renamed right df projected to shared vars, compatibility condition):
     left-unbound or right-unbound shared vars are compatible."""
@@ -467,7 +609,12 @@ def _apply_minus(acc: CompiledPattern, sub: CompiledPattern) -> CompiledPattern:
     return CompiledPattern(df, acc.all_vars, acc.visible_vars)
 
 
-def _apply_exists(acc: CompiledPattern, sub: CompiledPattern, positive: bool) -> CompiledPattern:
+def _apply_exists(
+    acc: CompiledPattern,
+    sub: CompiledPattern,
+    positive: bool,
+    strict_vars: frozenset = frozenset(),
+) -> CompiledPattern:
     shared = [v for v in acc.all_vars if v in set(sub.all_vars)]
     how = "left_semi" if positive else "left_anti"
     if not shared:
@@ -475,21 +622,32 @@ def _apply_exists(acc: CompiledPattern, sub: CompiledPattern, positive: bool) ->
     else:
         # EXISTS substitution semantics: an unbound LEFT var imposes no
         # constraint; the right side must be bound to its own solution vars,
-        # so only left-null is compatible here (unlike MINUS).
+        # so only left-null is compatible here (unlike MINUS). Correlated
+        # params (strict_vars) are the exception: substituting an unbound
+        # var leaves a free var whose filter errors to false, so those match
+        # strictly (left-null never matches -> EXISTS false for that row).
         renames = {v: _fresh("e") for v in shared}
         sdf = sub.df.select(*shared)
         cond = None
         for v, tmp in renames.items():
             sdf = sdf.withColumnRenamed(v, tmp)
-            c = F.col(v).isNull() | (F.col(v) == F.col(tmp))
+            if v in strict_vars:
+                c = F.col(v).isNotNull() & (F.col(v) == F.col(tmp))
+            else:
+                c = F.col(v).isNull() | (F.col(v) == F.col(tmp))
             cond = c if cond is None else (cond & c)
         df = acc.df.join(sdf, cond, how)
     return CompiledPattern(df, acc.all_vars, acc.visible_vars)
 
 
-def _compile_union(kb, branches, graph_scope: str | None) -> CompiledPattern:
+def _compile_union(
+    kb, branches, graph_scope: str | None, params: CompiledPattern | None = None
+) -> CompiledPattern:
     """UNION of sub-patterns; variables need not align (sparql.clj:235-239)."""
-    plans = [compile_pattern(kb, list(b), graph_scope) for b in branches]
+    plans = [
+        compile_pattern(kb, list(b), graph_scope, params=_params_for(kb, list(b), params))
+        for b in branches
+    ]
     all_vars: list[str] = []
     visible: list[str] = []
     for p in plans:

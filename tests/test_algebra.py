@@ -212,6 +212,103 @@ def test_not_exists_var_disjoint(kb):
     assert rows == []
 
 
+def test_exists_correlated_filter(kb):
+    # SPARQL §8.1.1 substitution semantics: ?a is bound OUTSIDE and the
+    # inner group references it only in a FILTER — Jena substitutes each
+    # outer value; here the distinct outer bindings decorrelate into the
+    # inner plan (round-2 ADVICE: this used to compile ?a to NULL and
+    # return []).
+    load_fixture(kb, TEST_TRIPLES_NUMBERS)
+    rows = kb.query(
+        [
+            ("?/x", "foaf/age", "?/a"),
+            (":exists", ("?/y", "foaf/age", "?/s"), (">", "?/s", "?/a")),
+        ]
+    )
+    # someone older exists for a(40) and b(40) (c is 50); not for c
+    assert {_ln(b["x"]) for b in rows} == {"a", "b"}
+
+
+def test_not_exists_correlated_filter(kb):
+    load_fixture(kb, TEST_TRIPLES_NUMBERS)
+    rows = kb.query(
+        [
+            ("?/x", "foaf/age", "?/a"),
+            (":not-exists", ("?/y", "foaf/age", "?/s"), (">", "?/s", "?/a")),
+        ]
+    )
+    assert {_ln(b["x"]) for b in rows} == {"c"}
+
+
+def test_exists_correlated_bind(kb):
+    # correlated var consumed through an inner BIND
+    load_fixture(kb, TEST_TRIPLES_NUMBERS)
+    rows = kb.query(
+        [
+            ("?/x", "foaf/age", "?/a"),
+            (
+                ":exists",
+                (":bind", ("+", "?/a", 10), "?/ap"),
+                ("?/y", "foaf/age", "?/s"),
+                ("=", "?/s", "?/ap"),
+            ),
+        ]
+    )
+    assert {_ln(b["x"]) for b in rows} == {"a", "b"}  # 40+10=50 exists; 50+10=60 doesn't
+
+
+def test_exists_correlated_unbound_outer_is_false(kb):
+    # an OPTIONAL-unbound correlated var substitutes to a free var whose
+    # filter errors -> EXISTS false for that row (and NOT EXISTS true)
+    load_fixture(kb, TEST_TRIPLES_NUMBERS)
+    rows = kb.query(
+        [
+            ("?/x", "foaf/surname", "?/sn"),
+            (":optional", (("?/x", "foaf/firstname", "?/f"),)),
+            (":exists", ("?/y", "foaf/firstname", "?/f2"), ("=", "?/f2", "?/f")),
+        ]
+    )
+    assert {_ln(b["x"]) for b in rows} == {"b", "c"}  # a has no firstname
+    rows = kb.query(
+        [
+            ("?/x", "foaf/surname", "?/sn"),
+            (":optional", (("?/x", "foaf/firstname", "?/f"),)),
+            (":not-exists", ("?/y", "foaf/firstname", "?/f2"), ("=", "?/f2", "?/f")),
+        ]
+    )
+    assert {_ln(b["x"]) for b in rows} == {"a"}
+
+
+def test_exists_filter_only_inner(kb):
+    # inner group is nothing but a correlated FILTER: one empty solution,
+    # kept iff the substituted filter holds
+    load_fixture(kb, TEST_TRIPLES_NUMBERS)
+    rows = kb.query(
+        [("?/x", "foaf/age", "?/a"), (":exists", (">", "?/a", 45))]
+    )
+    assert {_ln(b["x"]) for b in rows} == {"c"}
+
+
+def test_exists_correlated_union_branch(kb):
+    # corr var referenced in one UNION branch only; the other branch is
+    # UNDEF for it and holds under every substitution
+    load_fixture(kb, TEST_TRIPLES_NUMBERS)
+    rows = kb.query(
+        [
+            ("?/x", "foaf/age", "?/a"),
+            (
+                ":exists",
+                (
+                    ":union",
+                    (("?/y", "foaf/age", "?/s"), (">", "?/s", "?/a")),
+                    (("?/y", "foaf/givenname", "?/g"),),
+                ),
+            ),
+        ]
+    )
+    assert {_ln(b["x"]) for b in rows} == {"a", "b", "c"}
+
+
 def test_exists_sparql_string(kb):
     load_fixture(kb, TEST_TRIPLES_NUMBERS)
     rows = kb.sparql_query(
