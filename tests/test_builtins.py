@@ -47,7 +47,7 @@ def test_string_builtins(kb):
         ]
     )
     b = rows[0]
-    assert b["len"].v == "5" and b["len"].dt == XSD + "decimal"
+    assert b["len"].v == "5" and b["len"].dt == XSD + "integer"  # fn:string-length -> xs:integer
     assert b["up"].v == "ALICE"
     assert b["low"].v == "alice"
     assert b["mid"].v == "lic"  # SPARQL SUBSTR is 1-based
@@ -89,13 +89,17 @@ def test_numeric_builtins(kb):
             (":bind", (":ceil", "?/v"), "?/c"),
             (":bind", (":floor", "?/v"), "?/f"),
             (":bind", (":round", (":abs", "?/v")), "?/r"),
+            (":bind", (":round", "?/v"), "?/rn"),
         ]
     )
     b = rows[0]
     assert b["a"].v == "2.5"
     assert b["c"].v == "-2"
     assert b["f"].v == "-3"
-    assert b["r"].v == "3"  # round half up
+    assert b["r"].v == "3"  # round half toward +inf
+    # XPath fn:round: a negative half also rounds toward +inf (ADVICE r2:
+    # Spark's HALF_UP would give -3 here; Jena gives -2)
+    assert b["rn"].v == "-2"
 
 
 def test_if_coalesce(kb):

@@ -118,3 +118,15 @@ def test_bound_subject_seq_closure_is_seeded(kb):
     # sequence whose closure element must stay frontier-evaluated
     res = kb.query([("ex/a", ("ex/next", ["ex/next", "*"]), "?/x")])
     assert {b["x"].v.rsplit("/", 1)[-1] for b in res} == {"b", "c"}
+
+
+def test_list_sequence_confusion_clear_error(kb):
+    # ["p1","p2"] is a modifier vector with a non-int arg — the error must
+    # name the tuple-sequence fix instead of dying in int() (VERDICT r2)
+    _long_chain_fixture(kb)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="tuple"):
+        kb.query([("ex/a", ["ex/next", "ex/next"], "?/x")])
+    with _pytest.raises(ValueError, match="modifier"):
+        kb.query([("ex/a", ["ex/next", 1.5], "?/x")])
