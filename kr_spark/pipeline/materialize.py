@@ -251,7 +251,12 @@ def materialize_triples(
     from kr_spark.operators.canon import maybe_broadcast
 
     extracted = load_extracted(spark, out_dir)
-    mentions = mentions_from_extractions(extracted)
+    # checkpoint the mention set once: it is the DISTINCT surface forms
+    # (bounded by the entity vocabulary, tiny next to the corpus), but its
+    # plan is a full scan+distinct of the extract output — which the LSH
+    # band self-join, the scorer, and the singleton anti-join would each
+    # otherwise recompute (3 extra corpus-scale scans per run)
+    mentions = mentions_from_extractions(extracted).localCheckpoint()
     edges = link_entities(mentions)
     mapping = canonical_surface_mapping(mentions, edges, salt=salt)
 
