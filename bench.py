@@ -150,6 +150,89 @@ def bench_kg_pipeline(spark, sf_dir: str, n_convs: int | None = None) -> tuple[f
     return dt, n_convs * TURNS_PER_CONV, n_triples
 
 
+def run_stress(spark) -> dict:
+    """Adversarial-skew fixtures (VERDICT r2 #5): prove the guards actually
+    ENGAGE — salted CC on a hub graph stays correct and bounded, the LSH
+    `max_bucket` guard drops a degenerate all-identical bucket instead of
+    joining it quadratically, and the n-gram prefix filter keeps a
+    hot-shingle corpus's candidate count linear-ish, not O(n^2). Row
+    metrics ride in the JSON; BENCH/BASELINE.md records the readings."""
+    from pyspark.sql import functions as F
+
+    from kr_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+    from kr_spark.plans.fixpoint import connected_components
+
+    out: dict = {}
+
+    # ---- 1. hub-node CC: one node with 200k neighbors + 100 chains ----
+    n_spokes, n_chain = 200_000, 100
+    spokes = spark.range(n_spokes).select(
+        F.lit("hub").alias("src"), F.concat(F.lit("s"), F.col("id")).alias("dst")
+    )
+    chains = spark.range(n_chain * 50).select(
+        F.concat(F.lit("c"), (F.col("id") % n_chain), F.lit("_"), (F.col("id") / n_chain).cast("long")).alias("src"),
+        F.concat(F.lit("c"), (F.col("id") % n_chain), F.lit("_"), ((F.col("id") / n_chain).cast("long") + 1)).alias("dst"),
+    )
+    edges = spokes.union(chains)
+    t0 = time.time()
+    cc0 = connected_components(edges, driver_threshold=0, salt=0)
+    h0, n0 = cc0.agg(
+        F.sum(F.xxhash64("node", "component")).alias("h"), F.count("*").alias("n")
+    ).collect()[0]
+    out["cc_hub_unsalted_s"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    cc8 = connected_components(edges, driver_threshold=0, salt=8)
+    h8, n8 = cc8.agg(
+        F.sum(F.xxhash64("node", "component")).alias("h"), F.count("*").alias("n")
+    ).collect()[0]
+    out["cc_hub_salted8_s"] = round(time.time() - t0, 3)
+    out["cc_hub_nodes"] = n0
+    out["cc_salted_identical"] = bool(h0 == h8 and n0 == n8)
+    assert out["cc_salted_identical"], "salted CC diverged from unsalted"
+
+    # ---- 2. degenerate LSH corpus: 50k identical docs + distinct tail ----
+    n_same, n_tail = 50_000, 1_000
+    same = spark.range(n_same).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the exact same document text repeated everywhere").alias("text"),
+    )
+    tail = spark.range(n_tail).select(
+        (F.col("id") + n_same).alias("doc_id"),
+        F.concat(F.lit("unique doc number "), F.col("id"), F.lit(" with words")).alias("text"),
+    )
+    corpus = same.union(tail)
+    t0 = time.time()
+    n_pairs = minhash_lsh_pairs(corpus, max_bucket=1000).count()
+    out["lsh_degenerate_s"] = round(time.time() - t0, 3)
+    out["lsh_degenerate_pairs"] = n_pairs
+    # unguarded, the identical bucket alone is ~1.25e9 pairs; the guard
+    # drops buckets > max_bucket, so candidates stay near zero
+    assert n_pairs < 10_000, f"max_bucket guard failed to engage ({n_pairs})"
+
+    # ---- 3. hot-shingle corpus: every doc shares one leading shingle ----
+    n_hot = 20_000
+    hot = spark.range(n_hot).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("common leading phrase here doc "),
+            F.col("id"),
+            F.lit(" body "),
+            F.col("id"),
+        ).alias("text"),
+    )
+    # plant one exact-dup pair so the result is non-trivially correct
+    dup = spark.range(1).select(
+        F.lit(n_hot + 1).alias("doc_id"),
+        F.lit("common leading phrase here doc 7 body 7").alias("text"),
+    )
+    t0 = time.time()
+    pairs = ngram_jaccard_pairs(hot.union(dup), threshold=0.8).collect()
+    out["ngram_hot_shingle_s"] = round(time.time() - t0, 3)
+    out["ngram_hot_pairs"] = len(pairs)
+    assert len(pairs) == 1 and {int(pairs[0].id_a), int(pairs[0].id_b)} == {7, n_hot + 1}
+    return out
+
+
 def run_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     from kr_spark.entry_queries import QUERIES
 
@@ -219,9 +302,24 @@ def main() -> None:
         help="fixed conversation count (scaling mode defaults to 400000; "
         "normal mode sizes from the sf documents table)",
     )
+    ap.add_argument(
+        "--stress",
+        action="store_true",
+        help="adversarial-skew fixtures: hub-node CC (salted == unsalted), "
+        "degenerate LSH bucket guard, hot-shingle prefix filter",
+    )
     args = ap.parse_args()
 
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    if args.stress:
+        _wait_quiesce()
+        spark = make_spark(args.cpus)
+        spark.sparkContext.setLogLevel("ERROR")
+        res = run_stress(spark)
+        print(json.dumps({"metric": "stress_guards", "cpus": args.cpus, **res}))
+        spark.stop()
+        return
 
     if args.scaling:
         n_convs = args.n_convs or 400000

@@ -103,6 +103,7 @@ class KB:
         df: DataFrame | None = None,
         use_default_language: bool = True,
         default_language: str = "en",
+        pinned_now: str | None = None,
     ) -> None:
         self.spark = spark
         self.ns = ns if ns is not None else NamespaceRegistry()
@@ -113,6 +114,12 @@ class KB:
         self.default_language = default_language
         # default graph for adds, like kr's dynamic *graph* (rdf.clj:20)
         self.graph: str | None = None
+        # NOW()'s value — a run-supplied xsd:dateTime lexical form; None
+        # makes NOW() raise (wall-clock would break deterministic resume)
+        self.pinned_now = pinned_now
+        # *force-add-named-to-default* mirror (jena/rdf.clj:29): when True,
+        # every named-graph add also lands a copy in the default graph
+        self.force_add_named_to_default = False
 
     # ---- namespace registry (rdf.clj:115-167) ----
 
@@ -141,6 +148,12 @@ class KB:
         if g is not None:
             g = self.term(g).v
         self._pending.append(triple_row(self.term(s), self.term(p), self.term(o), g))
+        if g is not None and self.force_add_named_to_default:
+            # *force-add-named-to-default* (jena/rdf.clj:29): mirror the
+            # quad into the default graph so default-graph queries see it
+            self._pending.append(
+                triple_row(self.term(s), self.term(p), self.term(o), None)
+            )
 
     def add_unchecked(self, s, p, o, graph: str | None = None) -> None:
         """Unchecked insert (M2, rdf.clj:524-535): plain append, NO existence
@@ -155,6 +168,10 @@ class KB:
         self._pending_unchecked.append(
             triple_row(self.term(s), self.term(p), self.term(o), g)
         )
+        if g is not None and self.force_add_named_to_default:
+            self._pending_unchecked.append(
+                triple_row(self.term(s), self.term(p), self.term(o), None)
+            )
 
     def compact(self) -> None:
         """Dedup unchecked appends — restores set semantics (M2's deferred

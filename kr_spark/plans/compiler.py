@@ -95,6 +95,8 @@ def _classify(kb, clause):
             return "bind", clause[1:]  # (expr, var)
         if head == ":values":
             return "values", clause[1:]  # (vars, rows)
+        if head == ":subquery":
+            return "subquery", clause[1]  # parsed SELECT dict
         if head in FILTER_OPS:
             return "filter", clause
     if isinstance(head, (list, tuple)) and not _looks_like_term_box(head):
@@ -132,11 +134,13 @@ def compile_pattern(
     decorrelation — the same rewrite Catalyst uses for correlated EXISTS
     SQL subqueries it cannot push down)."""
     triples, optionals, unions, filters, groups = [], [], [], [], []
-    binds, values_cls, minuses, exists_cls = [], [], [], []
+    binds, values_cls, minuses, exists_cls, subqueries = [], [], [], [], []
     for clause in clauses:
         kind, payload = _classify(kb, clause)
         if kind == "triple":
             triples.append(payload)
+        elif kind == "subquery":
+            subqueries.append(payload)
         elif kind == "optional":
             optionals.append(payload)
         elif kind == "union":
@@ -171,6 +175,8 @@ def compile_pattern(
         plans.append(compile_pattern(kb, g, graph_scope, params=_params_for(kb, g, params)))
     for u in unions:
         plans.append(_compile_union(kb, u, graph_scope, params=params))
+    for sq in subqueries:
+        plans.append(_compile_subquery(kb, sq))
 
     if not plans and not optionals and not values_cls and params is None:
         raise ValueError("empty pattern")
@@ -340,6 +346,19 @@ def _pattern_var_usage(kb, clauses) -> tuple[set, set]:
         elif kind in ("exists", "not-exists"):
             b, r = _pattern_var_usage(kb, list(payload))
             refs |= r - b  # inner-bound vars don't escape; free refs do
+        elif kind == "subquery":
+            q = payload
+            if q["type"] == "select" and q["select_vars"]:
+                bound |= {kb.term(v).v for v in q["select_vars"]}
+            elif q["type"] == "aggregate":
+                bound |= set(
+                    q.get("select_order")
+                    or [kb.term(g).v for g in q["group_by"]]
+                    + [s[2] for s in q["aggs"]]
+                )
+            else:  # SELECT *: projects everything its own pattern binds
+                b, _ = _pattern_var_usage(kb, list(q["pattern"]))
+                bound |= b
         # minus: skipped (no substitution into MINUS)
     return bound, refs
 
@@ -505,6 +524,80 @@ def _join(a: CompiledPattern, b: CompiledPattern, how: str) -> CompiledPattern:
 
 
 _TERM_STRUCT_DDL = "struct<kind:string,v:string,lang:string,dt:string>"
+
+
+def _compile_subquery(kb, q: dict) -> CompiledPattern:
+    """Sub-SELECT (SPARQL 1.1 §12): evaluated independently (bottom-up, no
+    correlation per spec — unlike EXISTS) and joined into the outer group
+    on shared variables. Aggregate subqueries re-box their plain aggregate
+    columns as term structs so they join/filter like any other binding:
+    long -> xsd:integer, decimal -> trimmed-lexical xsd:decimal,
+    double -> xsd:double, string -> plain literal."""
+    if q["type"] == "select":
+        df = kb.query_df(
+            q["pattern"],
+            select_vars=q["select_vars"],
+            distinct=q["distinct"],
+            limit=q["limit"],
+            order_by=q.get("order_by") or None,
+            offset=q.get("offset"),
+        )
+        names = list(df.columns)
+        return CompiledPattern(df, names, names)
+    if q["type"] != "aggregate":
+        raise ValueError(f"unsupported subquery form {q['type']!r}")
+
+    from pyspark.sql.types import (
+        BooleanType,
+        DecimalType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+    )
+
+    from kr_spark.plans.filters import _XSD, _mk_term, _trim_decimal
+
+    df = kb.aggregate_df(
+        q["pattern"],
+        group_by=q["group_by"],
+        aggs=q["aggs"],
+        having=q["having"],
+        order_by=q.get("order_by") or None,
+        limit=q["limit"],
+        offset=q.get("offset"),
+        select_order=q.get("select_order"),
+    )
+    aliases = {spec[2] for spec in q["aggs"]}
+    cols = []
+    for field in df.schema.fields:
+        if field.name not in aliases:
+            cols.append(F.col(field.name))
+            continue
+        c = F.col(field.name)
+        t = field.dataType
+        if isinstance(t, (LongType, IntegerType)):
+            s = _mk_term(F.lit("literal"), c.cast("string"), dt=F.lit(_XSD + "integer"))
+        elif isinstance(t, DecimalType):
+            s = _mk_term(
+                F.lit("literal"), _trim_decimal(c), dt=F.lit(_XSD + "decimal")
+            )
+        elif isinstance(t, DoubleType):
+            s = _mk_term(F.lit("literal"), c.cast("string"), dt=F.lit(_XSD + "double"))
+        elif isinstance(t, BooleanType):
+            s = _mk_term(
+                F.lit("literal"),
+                F.when(c, F.lit("true")).otherwise(F.lit("false")),
+                dt=F.lit(_XSD + "boolean"),
+            )
+        elif isinstance(t, StringType):
+            s = _mk_term(F.lit("literal"), c)
+        else:
+            s = _mk_term(F.lit("literal"), c.cast("string"))
+        cols.append(F.when(c.isNotNull(), s).alias(field.name))
+    out = df.select(*cols)
+    names = list(out.columns)
+    return CompiledPattern(out, names, names)
 
 
 def _compile_values(kb, vars_, rows) -> CompiledPattern:

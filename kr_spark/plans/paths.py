@@ -38,6 +38,8 @@ def _has_closure(spec) -> bool:
     if isinstance(spec, list):
         return True  # every modifier vector repeats or adds zero-length
     head = spec[0]
+    if head == ":not-props":
+        return False  # single-step relation, no closure
     items = spec[1:] if head in (":or", ":inverse") else spec
     return any(_has_closure(s) for s in items)
 
@@ -54,6 +56,15 @@ def _invert_spec(spec):
         return spec[1]
     if head == ":or":
         return (":or",) + tuple(_invert_spec(s) for s in spec[1:])
+    if head == ":not-props":
+        # ^!(p|^q) = !(q|^p): each member flips direction
+        out = [":not-props"]
+        for m in spec[1:]:
+            if isinstance(m, (list, tuple)) and m and m[0] == ":inverse":
+                out.append(m[1])
+            else:
+                out.append((":inverse", m))
+        return tuple(out)
     return tuple(_invert_spec(s) for s in reversed(spec))
 
 
@@ -89,9 +100,8 @@ def _scoped(kb, graph_scope):
     return df
 
 
-def _base_pairs(kb, pred, graph_scope) -> DataFrame:
-    t = kb.term(pred)
-    df = _scoped(kb, graph_scope).filter(F.col("p") == t.v)
+def _pairs_proj(df) -> DataFrame:
+    """Project a triple scan to the (src, dst) term-struct pair relation."""
     return df.select(
         F.struct(
             F.col("s_kind").alias("kind"),
@@ -106,6 +116,11 @@ def _base_pairs(kb, pred, graph_scope) -> DataFrame:
             F.coalesce(F.col("o_datatype"), F.lit("")).alias("dt"),
         ).alias("dst"),
     )
+
+
+def _base_pairs(kb, pred, graph_scope) -> DataFrame:
+    t = kb.term(pred)
+    return _pairs_proj(_scoped(kb, graph_scope).filter(F.col("p") == t.v))
 
 
 def _graph_nodes(kb, graph_scope) -> DataFrame:
@@ -251,6 +266,35 @@ def compile_path_element(kb, spec, graph_scope, seed: DataFrame | None = None) -
 
     # combinator tuple (sparql.clj:167-187)
     head = spec[0]
+    if head == ":not-props":
+        # negated property set (SPARQL 1.1 §9.1 NegatedPropertySet; beyond
+        # the forms kr emits, but Jena evaluates it for the reference's raw
+        # strings). Forward members filter p NOT IN {...} (pushed into the
+        # scan); inverse members ^p contribute REVERSED edges whose
+        # predicate is outside the inverse-member set (spec semantics:
+        # !(p|^q) = forward-not-p UNION reverse-not-q).
+        fwd, inv = [], []
+        for m in spec[1:]:
+            if isinstance(m, (list, tuple)) and m and m[0] == ":inverse":
+                inv.append(kb.term(m[1]).v)
+            else:
+                t = kb.term(m)
+                if t.kind != "uri":
+                    raise ValueError(f"negated property set member must be an IRI, got {m!r}")
+                fwd.append(t.v)
+        base = _scoped(kb, graph_scope)
+        parts = []
+        if fwd or not inv:  # !() with no members = any forward predicate
+            df = base.filter(~F.col("p").isin(*fwd)) if fwd else base
+            parts.append(_pairs_proj(df))
+        if inv:
+            df = base.filter(~F.col("p").isin(*inv))
+            p = _pairs_proj(df)
+            parts.append(p.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.union(p)
+        return _seed_filter(out.dropDuplicates(["src", "dst"]), seed)
     if head == ":or":
         outs = [compile_path_element(kb, s, graph_scope, seed) for s in spec[1:]]
         df = outs[0]

@@ -32,7 +32,7 @@ _FN_NAMES = {
     ":strdt": "STRDT", ":strlang": "STRLANG", ":bnode": "BNODE",
     ":md5": "MD5", ":sha1": "SHA1", ":sha256": "SHA256",
     ":sha384": "SHA384", ":sha512": "SHA512",
-    ":isNumeric": "isNumeric", ":year": "YEAR", ":month": "MONTH",
+    ":isNumeric": "isNumeric", ":now": "NOW", ":year": "YEAR", ":month": "MONTH",
     ":day": "DAY", ":hours": "HOURS", ":minutes": "MINUTES",
     ":seconds": "SECONDS", ":tz": "TZ",
 }
@@ -83,6 +83,14 @@ def emit_path(kb, spec) -> str:
         return "(" + "|".join(emit_path(kb, s) for s in spec[1:]) + ")"
     if head == ":inverse":
         return "^(" + emit_path(kb, spec[1]) + ")"
+    if head == ":not-props":
+        members = []
+        for m in spec[1:]:
+            if isinstance(m, (list, tuple)) and m and m[0] == ":inverse":
+                members.append("^" + emit_term(kb, m[1]))
+            else:
+                members.append(emit_term(kb, m))
+        return "!(" + "|".join(members) + ")"
     return "(" + "/".join(emit_path(kb, s) for s in spec) + ")"
 
 
@@ -161,6 +169,11 @@ def _emit_clause(kb, clause, indent: str) -> str:
                 )
                 cells.append("(" + vals + ")")
             return "VALUES (" + vs + ") { " + " ".join(cells) + " }"
+        if head == ":subquery":
+            raise ValueError(
+                "cannot emit a sub-SELECT clause back to SPARQL text; "
+                "query the endpoint with the raw string instead"
+            )
         if head in FILTER_OPS:
             # always parenthesized, like the reference (sparql.clj:394-395)
             return "FILTER (" + _emit_filter_expr(kb, clause) + ")"

@@ -196,6 +196,23 @@ class _Parser:
                 inner = self.group()
                 for tp in inner:
                     clauses.append(tuple(tp) + (g,) if isinstance(tp, tuple) and len(tp) == 3 else tp)
+            elif (
+                self.peek() == "{"
+                and self.pos + 1 < len(self.toks)
+                and self.toks[self.pos + 1].lower() == "select"
+            ):
+                # sub-SELECT (SPARQL 1.1 §12): evaluated independently
+                # (bottom-up, no correlation per spec), joined on shared vars
+                self.next()  # {
+                self.next()  # select
+                q = self._parse_select(subquery=True)
+                self.eat("}")
+                if self.at_kw("union"):
+                    raise ValueError(
+                        "a sub-SELECT as a UNION branch is not supported; "
+                        "wrap it in an extra group: { { SELECT ... } } UNION ..."
+                    )
+                clauses.append((":subquery", q))
             elif self.peek() == "{":
                 branches = [self.group()]
                 while self.at_kw("union"):
@@ -280,7 +297,11 @@ class _Parser:
         if self.peek() == "^":
             self.next()
             inverse = True
-        if self.peek() == "(":
+        if self.peek() == "!":
+            # negated property set: !iri | !^iri | !(iri|^iri|...) (§9.1)
+            self.next()
+            prim = (":not-props", *self._negated_set())
+        elif self.peek() == "(":
             self.next()
             prim = self._path()
             self.eat(")")
@@ -310,6 +331,26 @@ class _Parser:
             prim = (":inverse", prim)
         return prim
 
+    def _negated_set(self) -> list:
+        """Members of a negated property set: iri or ^iri, |-separated when
+        parenthesized."""
+
+        def member():
+            if self.peek() == "^":
+                self.next()
+                return (":inverse", self._term(self.next()))
+            return self._term(self.next())
+
+        if self.peek() != "(":
+            return [member()]
+        self.next()
+        out = [member()]
+        while self.peek() == "|":
+            self.next()
+            out.append(member())
+        self.eat(")")
+        return out
+
     # ---- FILTER expressions -> engine filter s-exprs ----
     _CMP = {"=", "!=", "<", ">", "<=", ">="}
     _FN = {
@@ -328,7 +369,7 @@ class _Parser:
         "strdt": ":strdt", "strlang": ":strlang", "bnode": ":bnode",
         "md5": ":md5", "sha1": ":sha1", "sha256": ":sha256",
         "sha384": ":sha384", "sha512": ":sha512",
-        "isnumeric": ":isNumeric", "year": ":year", "month": ":month",
+        "isnumeric": ":isNumeric", "now": ":now", "year": ":year", "month": ":month",
         "day": ":day", "hours": ":hours", "minutes": ":minutes",
         "seconds": ":seconds", "tz": ":tz",
     }
@@ -418,6 +459,78 @@ class _Parser:
         return v
 
     # ---- query forms ----
+    def _parse_select(self, subquery: bool = False) -> dict:
+        """Body of a SELECT (the 'select' keyword already consumed). With
+        subquery=True the bare-COUNT collapse is skipped — a sub-SELECT's
+        alias is its projection and must survive (§11.5 count form only
+        matters for kr's emitted top-level count strings)."""
+        distinct = False
+        if self.at_kw("distinct") or self.at_kw("reduced"):
+            distinct = self.next().lower() == "distinct"
+        select_vars: list[str] | None = None
+        aggs: list[tuple] = []
+        select_order: list[str] | None = None  # SELECT-list column order
+        if self.peek() == "*":
+            self.next()
+        else:
+            select_vars = []
+            select_order = []
+            while True:
+                t = self.peek()
+                if t and t[0] in "?$":
+                    v = "?/" + self.next()[1:]
+                    select_vars.append(v)
+                    select_order.append(v[2:])
+                elif t == "(":
+                    self.next()
+                    item = self._agg_item()
+                    aggs.append(item)
+                    select_order.append(item[2])  # alias
+                else:
+                    break
+        if self.at_kw("where"):
+            self.next()
+        pattern = self.group()
+        mods = self._modifiers()
+        if (
+            not subquery
+            and len(aggs) == 1
+            and aggs[0][0] == "count"
+            and aggs[0][1] is None
+            and not aggs[0][3]
+            and not mods["group_by"]
+            and select_vars == []
+        ):
+            # plain SELECT (COUNT(*) AS ?c) — the kr-emitted count form
+            return {
+                "type": "count",
+                "pattern": pattern,
+                "limit": mods["limit"],
+                "distinct": distinct,
+            }
+        if aggs or mods["group_by"]:
+            return {
+                "type": "aggregate",
+                "pattern": pattern,
+                "select_vars": select_vars,
+                "select_order": select_order,
+                "group_by": mods["group_by"],
+                "aggs": aggs,
+                "having": mods["having"],
+                "order_by": mods["order_by"],
+                "limit": mods["limit"],
+                "offset": mods["offset"],
+            }
+        return {
+            "type": "select",
+            "pattern": pattern,
+            "select_vars": select_vars,
+            "distinct": distinct,
+            "limit": mods["limit"],
+            "order_by": mods["order_by"],
+            "offset": mods["offset"],
+        }
+
     def parse(self) -> dict:
         while self.at_kw("prefix"):
             self.next()
@@ -432,71 +545,7 @@ class _Parser:
                 self.next()
             return {"type": "ask", "pattern": self.group()}
         if form == "select":
-            distinct = False
-            if self.at_kw("distinct") or self.at_kw("reduced"):
-                distinct = self.next().lower() == "distinct"
-            select_vars: list[str] | None = None
-            aggs: list[tuple] = []
-            select_order: list[str] | None = None  # SELECT-list column order
-            if self.peek() == "*":
-                self.next()
-            else:
-                select_vars = []
-                select_order = []
-                while True:
-                    t = self.peek()
-                    if t and t[0] in "?$":
-                        v = "?/" + self.next()[1:]
-                        select_vars.append(v)
-                        select_order.append(v[2:])
-                    elif t == "(":
-                        self.next()
-                        item = self._agg_item()
-                        aggs.append(item)
-                        select_order.append(item[2])  # alias
-                    else:
-                        break
-            if self.at_kw("where"):
-                self.next()
-            pattern = self.group()
-            mods = self._modifiers()
-            if (
-                len(aggs) == 1
-                and aggs[0][0] == "count"
-                and aggs[0][1] is None
-                and not aggs[0][3]
-                and not mods["group_by"]
-                and select_vars == []
-            ):
-                # plain SELECT (COUNT(*) AS ?c) — the kr-emitted count form
-                return {
-                    "type": "count",
-                    "pattern": pattern,
-                    "limit": mods["limit"],
-                    "distinct": distinct,
-                }
-            if aggs or mods["group_by"]:
-                return {
-                    "type": "aggregate",
-                    "pattern": pattern,
-                    "select_vars": select_vars,
-                    "select_order": select_order,
-                    "group_by": mods["group_by"],
-                    "aggs": aggs,
-                    "having": mods["having"],
-                    "order_by": mods["order_by"],
-                    "limit": mods["limit"],
-                    "offset": mods["offset"],
-                }
-            return {
-                "type": "select",
-                "pattern": pattern,
-                "select_vars": select_vars,
-                "distinct": distinct,
-                "limit": mods["limit"],
-                "order_by": mods["order_by"],
-                "offset": mods["offset"],
-            }
+            return self._parse_select()
         if form == "describe":
             subjects: list = []
             while True:

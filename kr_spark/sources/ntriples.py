@@ -31,32 +31,51 @@ def unescape_ntriples(lex):
     containing NUL): split on the literal two-character '\\\\' token first —
     isolating escaped backslashes — then inside each fragment every
     remaining backslash starts a simple escape, so plain literal replaces
-    plus a \\uXXXX (BMP) decode are exact; re-join with single backslashes.
-    \\UXXXXXXXX (beyond-BMP) is left undecoded (no UTF-32 charset in
-    Spark's decode); the reference fixtures never use it.
+    plus \\uXXXX (BMP, UTF-16BE decode) and \\UXXXXXXXX (beyond-BMP,
+    decoded via surrogate-pair composition through the same UTF-16BE path —
+    Spark has no UTF-32 charset) are exact; re-join with single backslashes.
     """
+
+    def _u4(s):
+        # 4 hex digits -> UTF-16BE decode; malformed stays verbatim
+        return F.coalesce(
+            F.concat(
+                F.decode(F.unhex(F.substring(s, 1, 4)), "UTF-16BE"),
+                F.substr(s, F.lit(5)),
+            ),
+            F.concat(F.lit("\\u"), s),
+        )
+
+    def _u8(s):
+        # 8 hex digits -> code point; > 0xFFFF composes a UTF-16 surrogate
+        # pair and rides the same UTF-16BE decode; malformed stays verbatim
+        hexs = F.substring(s, 1, 8)
+        valid = hexs.rlike("^[0-9A-Fa-f]{8}$")
+        cp = F.conv(hexs, 16, 10).cast("long")
+        off = cp - F.lit(0x10000)
+        sur = F.concat(
+            F.lpad(F.hex(F.lit(0xD800) + F.shiftright(off, 10)), 4, "0"),
+            F.lpad(F.hex(F.lit(0xDC00) + off.bitwiseAND(F.lit(0x3FF))), 4, "0"),
+        )
+        u16 = F.when(cp > 0xFFFF, sur).otherwise(F.lpad(F.hex(cp), 4, "0"))
+        return F.when(
+            valid & (cp <= 0x10FFFF),
+            F.concat(F.decode(F.unhex(u16), "UTF-16BE"), F.substr(s, F.lit(9))),
+        ).otherwise(F.concat(F.lit("\\U"), s))
+
+    def _split_decode(p, marker_re: str, one):
+        segs = F.split(p, marker_re)
+        head = F.element_at(segs, 1)
+        tail = F.slice(segs, 2, F.greatest(F.size(segs) - 1, F.lit(0)))
+        return F.concat(head, F.array_join(F.transform(tail, one), ""))
 
     def _frag(p):
         p = F.replace(p, F.lit('\\"'), F.lit('"'))
         p = F.replace(p, F.lit("\\n"), F.lit("\n"))
         p = F.replace(p, F.lit("\\r"), F.lit("\r"))
         p = F.replace(p, F.lit("\\t"), F.lit("\t"))
-        # \uXXXX: split on the literal '\u'; each tail segment starts with
-        # 4 hex digits -> UTF-16BE decode; malformed stays verbatim
-        segs = F.split(p, r"\\u")
-        head = F.element_at(segs, 1)
-        tail = F.slice(segs, 2, F.greatest(F.size(segs) - 1, F.lit(0)))
-        dec = F.transform(
-            tail,
-            lambda s: F.coalesce(
-                F.concat(
-                    F.decode(F.unhex(F.substring(s, 1, 4)), "UTF-16BE"),
-                    F.substr(s, F.lit(5)),
-                ),
-                F.concat(F.lit("\\u"), s),
-            ),
-        )
-        return F.concat(head, F.array_join(dec, ""))
+        p = _split_decode(p, r"\\U", _u8)
+        return _split_decode(p, r"\\u", _u4)
 
     parts = F.split(lex, r"\\\\")
     return F.array_join(F.transform(parts, _frag), "\\")

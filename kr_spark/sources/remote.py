@@ -44,10 +44,13 @@ def _term_from_json(b: dict) -> Term:
 
 
 class RemoteSparqlKB:
-    """Read-only KB over an HTTP SPARQL endpoint (e.g. a public dataset
-    endpoint). Same query surface as the local KB for SELECT/ASK/COUNT/
-    CONSTRUCT patterns; mutation is unsupported (the reference's remote
-    repos are effectively query-only in its examples too)."""
+    """KB over an HTTP SPARQL endpoint (e.g. a public dataset endpoint).
+    Same query surface as the local KB for SELECT/ASK/COUNT/CONSTRUCT
+    patterns; writes go over SPARQL 1.1 UPDATE `INSERT DATA` — the
+    reference's remote repositories are read/write the same way (Sesame
+    HTTPRepository connections accept add: sesame/kb.clj:222-235 +
+    sesame/rdf.clj:244-257 run over them). Pass `update_endpoint` when the
+    server separates its update URL (e.g. `/sparql` vs `/update`)."""
 
     def __init__(
         self,
@@ -58,8 +61,10 @@ class RemoteSparqlKB:
         timeout: float = 30.0,
         use_default_language: bool = True,
         default_language: str = "en",
+        update_endpoint: str | None = None,
     ) -> None:
         self.endpoint = endpoint
+        self.update_endpoint = update_endpoint or endpoint
         self.ns = ns if ns is not None else NamespaceRegistry()
         self.timeout = timeout
         self._auth = None
@@ -97,6 +102,21 @@ class RemoteSparqlKB:
         with urllib.request.urlopen(req, timeout=self.timeout) as resp:
             return resp.read()
 
+    def _http_update(self, update: str) -> None:
+        """SPARQL 1.1 Protocol update: form-encoded POST of `update` to the
+        update endpoint. Success is any 2xx; the body is ignored."""
+        data = urllib.parse.urlencode({"update": update}).encode()
+        req = urllib.request.Request(
+            self.update_endpoint,
+            data=data,
+            headers={"Content-Type": "application/x-www-form-urlencoded"},
+            method="POST",
+        )
+        if self._auth:
+            req.add_header("Authorization", self._auth)
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            resp.read()
+
     def sparql_query(self, text: str) -> list[dict]:
         payload = json.loads(self._http(text))
         out = []
@@ -121,6 +141,34 @@ class RemoteSparqlKB:
 
     def ask(self, pattern) -> bool:
         return self.sparql_ask(emit_ask(self, pattern))
+
+    # ---- write path (SPARQL 1.1 UPDATE; sesame/kb.clj:222-235 parity) ----
+    def add(self, s, p, o, graph=None) -> None:
+        """Add one triple (optionally into a named graph) server-side."""
+        self.add_statements([(s, p, o)], graph=graph)
+
+    def add_statements(self, statements, graph=None) -> None:
+        """Batch add via one `INSERT DATA` update. Statements are ground
+        triples (vars are a caller bug and raise); bnodes serialize as
+        `_:label` with INSERT DATA's per-request bnode scoping, same as the
+        reference's statement add over a remote connection
+        (sesame/rdf.clj:244-257)."""
+        from kr_spark.plans.sparql_emit import emit_term
+
+        lines = []
+        for st in statements:
+            if len(st) != 3:
+                raise ValueError(f"expected (s, p, o), got {st!r}")
+            terms = [self.term(x) for x in st]
+            for t in terms:
+                if t.kind == "var":
+                    raise ValueError(f"cannot INSERT a variable term ?{t.v}")
+            lines.append(" ".join(emit_term(self, t) for t in terms) + " .")
+        body = "\n".join("  " + ln for ln in lines)
+        if graph is not None:
+            gt = self.term(graph)
+            body = f"  GRAPH <{gt.v}> {{\n{body}\n  }}"
+        self._http_update(f"INSERT DATA {{\n{body}\n}}")
 
     def count(self, pattern, limit: int | None = None) -> int:
         rows = self.sparql_query(emit_count(self, pattern, limit=limit))

@@ -264,3 +264,25 @@ def test_sparql_describe_string(kb):
     )
     rows = df2.collect()
     assert len(rows) == 1 and rows[0]["o"] == "Bob"
+
+
+def test_now_pinned(kb):
+    # NOW() pinned to a run-supplied timestamp (VERDICT r2 #7): constant
+    # within the query per §17.4.5.1 AND stable across kill+resume
+    load_fixture(kb, TEST_TRIPLES_NUMBERS)
+    kb.pinned_now = "2026-08-17T12:34:56Z"
+    rows = kb.sparql_query(
+        PREFIXES
+        + """SELECT ?x ?t ?y WHERE { ?x foaf:age ?a .
+              BIND(NOW() AS ?t) BIND(YEAR(NOW()) AS ?y) }"""
+    )
+    assert len(rows) == 3
+    assert all(b["t"].v == "2026-08-17T12:34:56Z" for b in rows)
+    assert all(b["t"].dt == XSD + "dateTime" for b in rows)
+    assert all(b["y"].v == "2026" for b in rows)
+
+    kb.pinned_now = None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pinned"):
+        kb.query([("?/x", "foaf/age", "?/a"), (":bind", (":now",), "?/t")])

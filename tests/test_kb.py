@@ -61,6 +61,24 @@ def test_quads_named_graph_visibility(kb):
     assert kb.size() == 2
 
 
+def test_force_add_named_to_default_mirror(kb):
+    # *force-add-named-to-default* (jena/rdf.clj:29; VERDICT r2 Missing #4):
+    # with the flag on, a named-graph add also lands a default-graph copy
+    kb.force_add_named_to_default = True
+    kb.add("ex/a", "ex/b", "ex/c", graph="ex/x")
+    assert kb.ask_rdf("ex/a", "ex/b", "ex/c", graph="ex/x")
+    assert kb.size() == 2  # quad + default-graph mirror
+    rows = kb.df().collect()
+    assert {r.graph for r in rows} == {"http://www.example.org/x", None}
+    # idempotent like any checked add: re-adding creates nothing new
+    kb.add("ex/a", "ex/b", "ex/c", graph="ex/x")
+    assert kb.size() == 2
+    # flag off (the default): no mirror
+    kb.force_add_named_to_default = False
+    kb.add("ex/d", "ex/b", "ex/c", graph="ex/x")
+    assert kb.size() == 3
+
+
 def test_ntriples_load(kb):
     # C13 (test_rdf.clj:22-28, 59-66)
     nt = (
@@ -146,6 +164,30 @@ def test_ntriples_escaping_roundtrip(kb, spark):
     back = parse_ntriples_df(spark, lines)
     got = {r.o for r in back.collect()}
     assert got == set(hostile)
+
+
+def test_ntriples_beyond_bmp_escapes(kb, spark):
+    # \UXXXXXXXX decodes via surrogate-pair composition (VERDICT r2 Missing
+    # #5); an escaped backslash before it must NOT feed the decoder, and
+    # raw UTF-8 beyond-BMP text survives export -> parse
+    from kr_spark.sources.ntriples import export_ntriples, parse_ntriples_df
+
+    lines = [
+        '<http://e.org/a> <http://e.org/p> "smile \\U0001F600 !" .',
+        '<http://e.org/b> <http://e.org/p> "bmp \\U00000041" .',
+        '<http://e.org/c> <http://e.org/p> "literal \\\\U0001F600" .',
+        '<http://e.org/d> <http://e.org/p> "bad \\UZZZZZZZZ" .',
+    ]
+    df = spark.createDataFrame([(ln,) for ln in lines], "value string")
+    got = {r.s: r.o for r in parse_ntriples_df(spark, df).collect()}
+    assert got["http://e.org/a"] == "smile \U0001f600 !"
+    assert got["http://e.org/b"] == "bmp A"
+    assert got["http://e.org/c"] == "literal \\U0001F600"
+    assert got["http://e.org/d"] == "bad \\UZZZZZZZZ"
+
+    kb.add("ex/s", "ex/p", ["emoji \U0001f600 text"])
+    back = parse_ntriples_df(spark, export_ntriples(kb.df()))
+    assert back.collect()[0].o == "emoji \U0001f600 text"
 
 
 def test_add_unchecked_then_compact(kb):

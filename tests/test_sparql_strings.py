@@ -8,6 +8,7 @@ from tests.conftest import (
     TEST_TRIPLES_6_1,
     TEST_TRIPLES_LANG,
     TEST_TRIPLES_NUMBERS,
+    TEST_TRIPLES_PATHS,
     load_fixture,
 )
 
@@ -250,3 +251,95 @@ def test_sparql_generic_dispatch(kb):
     assert kb.sparql(p + 'ASK { ?x foaf:firstname "Alice"@en . }') is True
     n = kb.sparql(p + "SELECT (COUNT(*) AS ?c) WHERE { ?x foaf:firstname ?n . }")
     assert n == 3
+
+
+# ---- negated property sets (SPARQL 1.1 §9.1) ----
+
+
+def test_negated_property_set_native_and_string(kb):
+    load_fixture(kb, TEST_TRIPLES_PATHS)
+    # native spec: any edge from ex/a NOT via foaf/knows
+    rows = kb.query([("ex/a", (":not-props", "foaf/knows"), "?/o")])
+    got = {b["o"].v for b in rows}
+    assert "http://www.example.org/b" not in got  # the knows edge
+    assert "Alice" in got and "Hacker" in got and "40" in got
+    # string form with a member list
+    rows = kb.sparql_query(
+        PREFIXES
+        + "SELECT ?o WHERE { ex:a !(foaf:knows|foaf:age) ?o . }"
+    )
+    assert {b["o"].v for b in rows} == {"Alice", "Hacker"}
+
+
+def test_negated_property_set_inverse_member(kb):
+    load_fixture(kb, TEST_TRIPLES_PATHS)
+    # !(^foaf:knows) from ex/b: reversed edges into b whose predicate is
+    # not knows — there are none (only a-knows->b points at b)
+    rows = kb.query([("ex/b", (":not-props", (":inverse", "foaf/knows")), "?/x")])
+    assert rows == []
+    # but !(^foaf/age) from ex/b sees the reversed knows edge (a knows b)
+    rows = kb.query([("ex/b", (":not-props", (":inverse", "foaf/age")), "?/x")])
+    assert "http://www.example.org/a" in {b["x"].v for b in rows}
+
+
+def test_negated_property_set_in_sequence(kb):
+    load_fixture(kb, TEST_TRIPLES_PATHS)
+    # knows/!(knows): one knows hop then any non-knows edge
+    rows = kb.sparql_query(
+        PREFIXES + "SELECT ?o WHERE { ex:a foaf:knows/!(foaf:knows) ?o . }"
+    )
+    got = {b["o"].v for b in rows}
+    assert got == {"Bob", "Hacker", "40"}  # ex/b's non-knows edges
+
+
+# ---- sub-SELECT (SPARQL 1.1 §12) ----
+
+
+def test_subquery_uncorrelated_aggregate(kb):
+    load_fixture(kb, TEST_TRIPLES_NUMBERS)
+    # classic max-join: who has the maximum age?
+    rows = kb.sparql_query(
+        PREFIXES
+        + """SELECT ?x WHERE {
+              ?x foaf:age ?a .
+              { SELECT (MAX(?a2) AS ?mx) WHERE { ?y foaf:age ?a2 } }
+              FILTER(?a >= ?mx) }"""
+    )
+    assert {b["x"].v.rsplit("/", 1)[-1] for b in rows} == {"c"}
+
+
+def test_subquery_grouped_join_on_shared_var(kb):
+    load_fixture(kb, TEST_TRIPLES_NUMBERS)
+    rows = kb.sparql_query(
+        PREFIXES
+        + """SELECT ?x ?s ?cnt WHERE {
+              ?x foaf:surname ?s .
+              { SELECT ?x (COUNT(?a) AS ?cnt) WHERE { ?x foaf:age ?a } GROUP BY ?x } }"""
+    )
+    assert len(rows) == 3
+    assert all(b["cnt"].v == "1" and b["cnt"].dt.endswith("integer") for b in rows)
+
+
+def test_subquery_plain_select_with_limit(kb):
+    load_fixture(kb, TEST_TRIPLES_NUMBERS)
+    rows = kb.sparql_query(
+        PREFIXES
+        + """SELECT ?x ?s WHERE {
+              ?x foaf:surname ?s .
+              { SELECT ?x WHERE { ?x foaf:firstname ?f } } }"""
+    )
+    # inner projects only ?x (b and c have firstnames); join restricts outer
+    assert {b["x"].v.rsplit("/", 1)[-1] for b in rows} == {"b", "c"}
+    assert all("f" not in b for b in rows)  # ?f does NOT leak out
+
+
+def test_subquery_union_branch_clear_error(kb):
+    load_fixture(kb, TEST_TRIPLES_NUMBERS)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="UNION branch"):
+        kb.sparql_query(
+            PREFIXES
+            + """SELECT ?x WHERE {
+                  { SELECT ?x WHERE { ?x foaf:age ?a } } UNION { ?x foaf:surname ?s } }"""
+        )
