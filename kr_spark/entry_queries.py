@@ -1056,6 +1056,59 @@ def q_sparql_exists(spark, sf_dir):
     return df.select(F.col("n")["v"].alias("nat"))
 
 
+def q_sparql_exists_correlated(spark, sf_dir):
+    """FILTER EXISTS with SUBSTITUTION semantics (§8.1.1; round-2 ADVICE
+    medium): ?b is bound OUTSIDE and referenced only in the inner FILTER —
+    distinct outer ?b values decorrelate into the inner plan; ?n is
+    inner-bound and rides the normal semi-join. Result: customers beaten by
+    a same-nation balance (i.e. everyone but each nation's max holders).
+
+    Scale shape: inner-pattern x distinct-params cross product, then a
+    semi-join on (n, b) — the standard decorrelation Catalyst itself uses
+    for correlated EXISTS SQL subqueries it cannot push down."""
+    kb = make_kb(spark, sf_dir)
+    df = kb.sparql_query_df(
+        """SELECT ?c WHERE { ?c rel:inNation ?n . ?c rel:acctbal ?b .
+             FILTER EXISTS { ?c2 rel:inNation ?n . ?c2 rel:acctbal ?b2 .
+                             FILTER(?b2 > ?b) } }"""
+    )
+    return df.select(F.col("c")["v"].alias("cust"))
+
+
+def q_sparql_subquery(spark, sf_dir):
+    """Sub-SELECT (§12): per-nation MAX(acctbal) computed bottom-up, joined
+    on ?n, outer FILTER keeps the max holder(s). MAX returns the winning
+    TERM (datatype intact), so the outer >= compares in numeric value
+    space. One grouped aggregate + one equi-join on the nation key."""
+    kb = make_kb(spark, sf_dir)
+    df = kb.sparql_query_df(
+        """SELECT ?c ?mx WHERE {
+             ?c rel:inNation ?n . ?c rel:acctbal ?b .
+             { SELECT ?n (MAX(?b2) AS ?mx)
+               WHERE { ?c2 rel:inNation ?n . ?c2 rel:acctbal ?b2 }
+               GROUP BY ?n }
+             FILTER(?b >= ?mx) }"""
+    )
+    return df.select(
+        F.col("c")["v"].alias("cust"),
+        F.round(F.col("mx")["v"].cast("decimal(18,2)") * 100).cast("long").alias("mx_cents"),
+    )
+
+
+def q_path_negated(spark, sf_dir):
+    """Negated property set !(p1|p2|...) (§9.1): every customer edge except
+    name/type/segment/locatedIn/acctbal — i.e. exactly the inNation facts.
+    The NOT-IN predicate filter pushes into the parquet scan (one map-only
+    pass, no shuffle before the projection)."""
+    kb = make_kb(spark, sf_dir)
+    df = kb.sparql_query_df(
+        """SELECT ?c ?o WHERE {
+             ?c a ty:Customer .
+             ?c !(foaf:name|rdf:type|rel:mktsegment|rel:locatedIn|rel:acctbal) ?o . }"""
+    )
+    return df.select(F.col("c")["v"].alias("cust"), F.col("o")["v"].alias("obj"))
+
+
 def q_sparql_values_bind(spark, sf_dir):
     """VALUES (broadcast inline-data join) + BIND arithmetic (§10.1/10.2)."""
     kb = make_kb(spark, sf_dir)
@@ -1179,6 +1232,24 @@ ORACLES = {
         SELECT {_NA} AS nat FROM nation
         WHERE EXISTS (SELECT 1 FROM customer
                       WHERE c_nationkey = n_nationkey AND c_acctbal > 9900)
+    """,
+    "q_sparql_exists_correlated": f"""
+        SELECT {_CU} AS cust FROM customer c
+        WHERE EXISTS (SELECT 1 FROM customer c2
+                      WHERE c2.c_nationkey = c.c_nationkey
+                        AND c2.c_acctbal > c.c_acctbal)
+    """,
+    "q_sparql_subquery": f"""
+        SELECT {_CU} AS cust,
+               CAST(ROUND(mx * 100) AS BIGINT) AS mx_cents
+        FROM customer c
+        JOIN (SELECT c_nationkey, MAX(c_acctbal) AS mx
+              FROM customer GROUP BY c_nationkey) m
+          ON c.c_nationkey = m.c_nationkey
+        WHERE c.c_acctbal >= m.mx
+    """,
+    "q_path_negated": f"""
+        SELECT {_CU} AS cust, {_NA_C} AS obj FROM customer
     """,
     "q_sparql_values_bind": f"""
         SELECT {_CU} AS cust,
@@ -1532,6 +1603,9 @@ QUERIES = {
     "q_sparql_minus": q_sparql_minus,
     "q_sparql_not_exists": q_sparql_not_exists,
     "q_sparql_exists": q_sparql_exists,
+    "q_sparql_exists_correlated": q_sparql_exists_correlated,
+    "q_sparql_subquery": q_sparql_subquery,
+    "q_path_negated": q_path_negated,
     "q_sparql_values_bind": q_sparql_values_bind,
     "q_sparql_order_offset": q_sparql_order_offset,
     "q_ask": q_ask,

@@ -346,8 +346,11 @@ class KB:
     ) -> DataFrame:
         """GROUP BY + aggregates (SPARQL 1.1 §11; Jena runs these for the
         reference via raw strings — sparql.clj:560-603 hands text to the
-        backend verbatim). Group-var columns stay term structs; aggregate
-        columns are plain (long counts, decimal sums, string concats).
+        backend verbatim). Group-var columns stay term structs; COUNT/SUM/
+        AVG/GROUP_CONCAT columns are plain (long counts, decimal sums,
+        string concats) since they mint NEW literals, while MIN/MAX/SAMPLE
+        return the winning TERM struct (§18.5.1.7-8 — they select an
+        existing RDF term, datatype and all).
 
         agg spec: (op, operand_var_or_None, alias[, distinct[, separator]])
         with op in count/sum/avg/min/max/group_concat/sample. GROUP_CONCAT
@@ -403,16 +406,21 @@ class KB:
                 else:
                     e = F.sum(v) if op == "sum" else F.avg(v)
             elif op in ("min", "max"):
+                # MIN/MAX return the extreme TERM itself (§18.5.1.7-8 —
+                # unlike COUNT/SUM/AVG which mint new literals), so the full
+                # struct survives: a subquery's MAX keeps its datatype and
+                # compares numerically downstream
                 pick = F.min_by if op == "min" else F.max_by
-                e = pick(F.col(name)["v"], _ordkey(name))
+                e = pick(F.col(name), _ordkey(name))
             elif op == "group_concat":
                 vals = F.collect_list(F.col(name)["v"])
                 if distinct:
                     vals = F.array_distinct(vals)
                 e = F.array_join(F.array_sort(vals), sep)
             elif op == "sample":
-                # any value is spec-conformant; min(lexical) is deterministic
-                e = F.min(F.col(name)["v"])
+                # any value is spec-conformant; min-by-lexical is
+                # deterministic, and like MIN/MAX it returns the term
+                e = F.min_by(F.col(name), F.col(name)["v"])
             else:
                 raise ValueError(f"unknown aggregate {op!r}")
             agg_exprs.append(e.alias(alias))

@@ -554,6 +554,7 @@ def _compile_subquery(kb, q: dict) -> CompiledPattern:
         IntegerType,
         LongType,
         StringType,
+        StructType,
     )
 
     from kr_spark.plans.filters import _XSD, _mk_term, _trim_decimal
@@ -576,6 +577,9 @@ def _compile_subquery(kb, q: dict) -> CompiledPattern:
             continue
         c = F.col(field.name)
         t = field.dataType
+        if isinstance(t, StructType):
+            cols.append(c)  # MIN/MAX/SAMPLE already return the term struct
+            continue
         if isinstance(t, (LongType, IntegerType)):
             s = _mk_term(F.lit("literal"), c.cast("string"), dt=F.lit(_XSD + "integer"))
         elif isinstance(t, DecimalType):

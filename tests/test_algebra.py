@@ -374,9 +374,11 @@ def test_aggregate_native(kb):
     assert row["n"] == 3
     assert int(row["total"]) == 130
     assert abs(float(row["mean"]) - 130 / 3) < 1e-6
-    assert (row["lo"], row["hi"]) == ("40", "50")
+    # MIN/MAX/SAMPLE return the winning TERM (struct), datatype included
+    assert (row["lo"]["v"], row["hi"]["v"]) == ("40", "50")
+    assert row["hi"]["dt"].endswith("integer")
     assert row["ages"] == "40,40,50"
-    assert row["one"] == "40"
+    assert row["one"]["v"] == "40"
 
 
 def test_aggregate_distinct_and_having(kb):
@@ -419,7 +421,7 @@ def test_aggregate_sparql_string(kb):
     assert len(rows) == 1
     assert rows[0]["s"].v == "Hacker"
     assert rows[0]["cnt"] == 3
-    assert rows[0]["oldest"] == "50"
+    assert rows[0]["oldest"].v == "50"
 
 
 def test_aggregate_select_list_projection(kb):
