@@ -159,7 +159,7 @@ def run_stress(spark) -> dict:
     metrics ride in the JSON; BENCH/BASELINE.md records the readings."""
     from pyspark.sql import functions as F
 
-    from kr_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+    from kr_spark.operators.dedup import minhash_lsh_candidates, ngram_jaccard_pairs
     from kr_spark.plans.fixpoint import connected_components
 
     out: dict = {}
@@ -177,13 +177,13 @@ def run_stress(spark) -> dict:
     t0 = time.time()
     cc0 = connected_components(edges, driver_threshold=0, salt=0)
     h0, n0 = cc0.agg(
-        F.sum(F.xxhash64("node", "component")).alias("h"), F.count("*").alias("n")
+        F.sum(F.xxhash64("node", "component").cast("decimal(38,0)")).alias("h"), F.count("*").alias("n")
     ).collect()[0]
     out["cc_hub_unsalted_s"] = round(time.time() - t0, 3)
     t0 = time.time()
     cc8 = connected_components(edges, driver_threshold=0, salt=8)
     h8, n8 = cc8.agg(
-        F.sum(F.xxhash64("node", "component")).alias("h"), F.count("*").alias("n")
+        F.sum(F.xxhash64("node", "component").cast("decimal(38,0)")).alias("h"), F.count("*").alias("n")
     ).collect()[0]
     out["cc_hub_salted8_s"] = round(time.time() - t0, 3)
     out["cc_hub_nodes"] = n0
@@ -202,7 +202,7 @@ def run_stress(spark) -> dict:
     )
     corpus = same.union(tail)
     t0 = time.time()
-    n_pairs = minhash_lsh_pairs(corpus, max_bucket=1000).count()
+    n_pairs = minhash_lsh_candidates(corpus, max_bucket=1000).count()
     out["lsh_degenerate_s"] = round(time.time() - t0, 3)
     out["lsh_degenerate_pairs"] = n_pairs
     # unguarded, the identical bucket alone is ~1.25e9 pairs; the guard

@@ -15,10 +15,13 @@ also serialize through operators/rule_loader.py):
                   transitivity), rdfs7 (subPropertyOf inheritance),
                   rdfs9 (type inheritance), rdfs11 (subClassOf transitivity)
   OWL_RL_RULES  — the RL subset that matters for KG canonicalization:
-                  sameAs symmetry/transitivity + subject/object rewrite,
-                  inverseOf (both directions), SymmetricProperty,
+                  sameAs symmetry/transitivity + subject/object/predicate
+                  rewrite, inverseOf (both directions), SymmetricProperty,
                   TransitiveProperty, equivalentClass/equivalentProperty
-                  (as mutual subsumption)
+                  (as mutual subsumption and back, scm-eqc2), Functional/
+                  InverseFunctionalProperty (prp-fp/prp-ifp mint sameAs),
+                  and the property-restriction class rules cls-hv1/hv2,
+                  cls-svf1, cls-avf
 
 `materialize_entailments(kb, level)` runs the chosen set to fixpoint
 (operators/rules.run_rules_to_fixpoint — semi-naive, set-semantics adds).
@@ -130,6 +133,86 @@ OWL_RL_RULES: list[dict] = [
         "name": "cax-eqp1",
         "head": [("?/p1", _SUBP, "?/p2"), ("?/p2", _SUBP, "?/p1")],
         "body": [("?/p1", _EQP, "?/p2")],
+    },
+    # ---- round-3 widening toward Jena's :owl level (OWL 2 RL tables 4-6;
+    # VERDICT r2 Missing #2). Each rule name matches its OWL 2 RL rule id.
+    {
+        # FunctionalProperty: two objects of one (s,p) are the same node
+        "name": "prp-fp",
+        "head": [("?/y1", _SAME, "?/y2")],
+        "body": [
+            ("?/p", _TYPE, f"<{OWL}FunctionalProperty>"),
+            ("?/x", "?/p", "?/y1"),
+            ("?/x", "?/p", "?/y2"),
+            (":isIRI", "?/y1"),
+            (":isIRI", "?/y2"),
+            ("!", ("=", "?/y1", "?/y2")),
+        ],
+    },
+    {
+        # InverseFunctionalProperty: two subjects sharing (p,o) are the same
+        "name": "prp-ifp",
+        "head": [("?/x1", _SAME, "?/x2")],
+        "body": [
+            ("?/p", _TYPE, f"<{OWL}InverseFunctionalProperty>"),
+            ("?/x1", "?/p", "?/y"),
+            ("?/x2", "?/p", "?/y"),
+            ("!", ("=", "?/x1", "?/x2")),
+        ],
+    },
+    {
+        # sameAs on a PREDICATE rewrites the property position too
+        "name": "eq-rep-p",
+        "head": [("?/s", "?/p2", "?/o")],
+        "body": [("?/p", _SAME, "?/p2"), ("?/s", "?/p", "?/o")],
+    },
+    {
+        # mutual subsumption back to equivalence (schema closure)
+        "name": "scm-eqc2",
+        "head": [("?/c1", _EQC, "?/c2")],
+        "body": [("?/c1", _SUBC, "?/c2"), ("?/c2", _SUBC, "?/c1")],
+    },
+    {
+        # hasValue restriction, instance direction: x:R -> x p v
+        "name": "cls-hv1",
+        "head": [("?/x", "?/p", "?/v")],
+        "body": [
+            ("?/r", f"<{OWL}hasValue>", "?/v"),
+            ("?/r", f"<{OWL}onProperty>", "?/p"),
+            ("?/x", _TYPE, "?/r"),
+        ],
+    },
+    {
+        # hasValue restriction, class direction: x p v -> x:R
+        "name": "cls-hv2",
+        "head": [("?/x", _TYPE, "?/r")],
+        "body": [
+            ("?/r", f"<{OWL}hasValue>", "?/v"),
+            ("?/r", f"<{OWL}onProperty>", "?/p"),
+            ("?/x", "?/p", "?/v"),
+        ],
+    },
+    {
+        # someValuesFrom: x p y, y:D -> x:R
+        "name": "cls-svf1",
+        "head": [("?/x", _TYPE, "?/r")],
+        "body": [
+            ("?/r", f"<{OWL}someValuesFrom>", "?/d"),
+            ("?/r", f"<{OWL}onProperty>", "?/p"),
+            ("?/x", "?/p", "?/y"),
+            ("?/y", _TYPE, "?/d"),
+        ],
+    },
+    {
+        # allValuesFrom: x:R, x p y -> y:D
+        "name": "cls-avf",
+        "head": [("?/y", _TYPE, "?/d")],
+        "body": [
+            ("?/r", f"<{OWL}allValuesFrom>", "?/d"),
+            ("?/r", f"<{OWL}onProperty>", "?/p"),
+            ("?/x", _TYPE, "?/r"),
+            ("?/x", "?/p", "?/y"),
+        ],
     },
 ]
 

@@ -526,3 +526,54 @@ def test_owl_rl_entailment_level(kb):
     assert kb.ask_rdf("ex/y", "ex/near", "ex/x")        # symmetric
     assert kb.ask_rdf("ex/q1", "ex/in", "ex/q3")        # transitive
     assert kb.ask_rdf("ex/i", "rdf/type", "ex/C2")      # equivalentClass
+
+
+def test_owl_rl_round3_rules(kb):
+    # round-3 RL widening (VERDICT r2 Missing #2): functional/inverse-
+    # functional properties mint sameAs, sameAs rewrites predicates,
+    # mutual subsumption closes back to equivalentClass, and the
+    # hasValue/someValuesFrom/allValuesFrom restriction rules fire
+    from kr_spark.operators.entailment import materialize_entailments
+
+    kb.add_statements(
+        [
+            # prp-fp: hasMother is functional -> m1 sameAs m2
+            ("ex/hasMother", "rdf/type", "owl/FunctionalProperty"),
+            ("ex/kid", "ex/hasMother", "ex/m1"),
+            ("ex/kid", "ex/hasMother", "ex/m2"),
+            # prp-ifp: ssn is inverse-functional -> s1 sameAs s2
+            ("ex/ssn", "rdf/type", "owl/InverseFunctionalProperty"),
+            ("ex/s1", "ex/ssn", ["123"]),
+            ("ex/s2", "ex/ssn", ["123"]),
+            # eq-rep-p: predicate rewrite through sameAs
+            ("ex/worksAt", "owl/sameAs", "ex/employedBy"),
+            ("ex/w", "ex/worksAt", "ex/acme"),
+            # scm-eqc2: mutual subsumption -> equivalentClass
+            ("ex/A", "rdfs/subClassOf", "ex/B"),
+            ("ex/B", "rdfs/subClassOf", "ex/A"),
+            # cls-hv1/hv2 round-trip
+            ("ex/R", "owl/hasValue", "ex/red"),
+            ("ex/R", "owl/onProperty", "ex/color"),
+            ("ex/apple", "ex/color", "ex/red"),
+            ("ex/cherry", "rdf/type", "ex/R"),
+            # cls-svf1: someValuesFrom
+            ("ex/ParentOfDoctor", "owl/someValuesFrom", "ex/Doctor"),
+            ("ex/ParentOfDoctor", "owl/onProperty", "ex/parentOf2"),
+            ("ex/pa", "ex/parentOf2", "ex/d"),
+            ("ex/d", "rdf/type", "ex/Doctor"),
+            # cls-avf: allValuesFrom
+            ("ex/VeganMeal", "owl/allValuesFrom", "ex/Vegetable"),
+            ("ex/VeganMeal", "owl/onProperty", "ex/ingredient"),
+            ("ex/meal1", "rdf/type", "ex/VeganMeal"),
+            ("ex/meal1", "ex/ingredient", "ex/carrot"),
+        ]
+    )
+    materialize_entailments(kb, "owl")
+    assert kb.ask_rdf("ex/m1", "owl/sameAs", "ex/m2")            # prp-fp
+    assert kb.ask_rdf("ex/s1", "owl/sameAs", "ex/s2")            # prp-ifp
+    assert kb.ask_rdf("ex/w", "ex/employedBy", "ex/acme")        # eq-rep-p
+    assert kb.ask_rdf("ex/A", "owl/equivalentClass", "ex/B")     # scm-eqc2
+    assert kb.ask_rdf("ex/cherry", "ex/color", "ex/red")         # cls-hv1
+    assert kb.ask_rdf("ex/apple", "rdf/type", "ex/R")            # cls-hv2
+    assert kb.ask_rdf("ex/pa", "rdf/type", "ex/ParentOfDoctor")  # cls-svf1
+    assert kb.ask_rdf("ex/carrot", "rdf/type", "ex/Vegetable")   # cls-avf
