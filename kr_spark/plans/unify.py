@@ -79,6 +79,12 @@ def unify(kb, x, y, bindings: dict | None = None):
     if bindings is None:
         bindings = _NO_BINDINGS
     xv, yv = _var_name(kb, x), _var_name(kb, y)
+    if xv is not None and xv == yv:
+        # (= x y) precedes the variable branch in the reference
+        # (unify.clj:34): a var unifies with ITSELF without extending —
+        # without this the occurs-check below rejects ?x = ?x
+        # (found by hypothesis: unify(t, t) must never fail)
+        return bindings if bindings is not _NO_BINDINGS else dict(bindings)
     if xv is not None:
         return _unify_variable(kb, xv, y, bindings)
     if yv is not None:
