@@ -26,6 +26,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspa
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-convs", type=int, default=10000)
+    ap.add_argument(
+        "--input",
+        default=None,
+        help="transcripts table to read instead of generating: an Iceberg "
+        "table identifier (catalog.db.table — needs the Iceberg runtime on "
+        "the classpath) or a parquet path; schema per BASELINE.json "
+        "input_hint (conv_id, turn_idx, role, text, tool, ts). "
+        "--n-convs is ignored when set",
+    )
     ap.add_argument("--out", required=True)
     ap.add_argument("--buckets", type=int, default=16)
     ap.add_argument("--cores", type=int, default=None, help="local[N]; default local[*]")
@@ -53,7 +62,19 @@ def main() -> None:
     from kr_spark.pipeline.transcripts import generate_transcripts
 
     t0 = time.time()
-    transcripts = generate_transcripts(spark, args.n_convs)
+    if args.input:
+        # a real transcripts table: Iceberg identifier when a catalog can
+        # resolve it, else a parquet path — both produce the input_hint frame
+        try:
+            transcripts = spark.table(args.input)
+        except Exception:
+            transcripts = spark.read.parquet(args.input)
+        n_turns_in = transcripts.count()
+        n_convs_reported = None
+    else:
+        transcripts = generate_transcripts(spark, args.n_convs)
+        n_turns_in = args.n_convs * 8
+        n_convs_reported = args.n_convs
     triples = run_pipeline(
         spark,
         transcripts,
@@ -66,8 +87,8 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "n_convs": args.n_convs,
-                "n_turns": args.n_convs * 8,
+                "n_convs": n_convs_reported,
+                "n_turns": n_turns_in,
                 "n_triples": n_triples,
                 "wall_s": round(wall, 3),
                 "triples_per_sec": round(n_triples / wall, 1),

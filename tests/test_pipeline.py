@@ -163,3 +163,46 @@ def test_expr_and_arrow_scorers_identical(spark, transcripts):
     b = score_candidates_arrow(cand).withColumn("score", F.round("score", 9))
     assert a.count() == b.count() and a.count() > 0
     assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_run_py_input_table_launch_shape(spark, tmp_path):
+    # north-star launch shape: spark-submit --py-files kr_spark.zip
+    # kr_spark/pipeline/run.py --input <transcripts table> --out <dir>
+    # (here driven in-process for speed: the CLI reads a real parquet
+    # transcripts table instead of generating; n_turns reports the input)
+    import json
+    import subprocess
+    import sys
+
+    from kr_spark.pipeline.transcripts import generate_transcripts
+
+    inp = str(tmp_path / "transcripts")
+    generate_transcripts(spark, 300).write.parquet(inp)
+    out = str(tmp_path / "kg")
+    zip_path = str(tmp_path / "kr_spark.zip")
+    subprocess.run(
+        [sys.executable, "tools/package_pyfiles.py", zip_path], check=True
+    )
+    r = subprocess.run(
+        [
+            "spark-submit",
+            "--master",
+            "local[4]",
+            "--py-files",
+            zip_path,
+            "kr_spark/pipeline/run.py",
+            "--input",
+            inp,
+            "--out",
+            out,
+            "--buckets",
+            "2",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    d = json.loads(line)
+    assert d["n_turns"] == 2400 and d["n_triples"] > 0
