@@ -42,7 +42,7 @@ _TOKEN = re.compile(
     | (?P<number>[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
     | (?P<langtag>@[A-Za-z][\w-]*)
     | (?P<dtmark>\^\^)
-    | (?P<punct>[{}().,;]|\|\||&&|!=|<=|>=|[=<>!*/+?^|-])
+    | (?P<punct>[{}()\[\].,;]|\|\||&&|!=|<=|>=|[=<>!*/+?^|-])
     | (?P<word>[A-Za-z_][\w.-]*:?[\w.-]*)
     )
     """,
@@ -97,6 +97,7 @@ class _Parser:
         self.toks = _tokenize(text)
         self.pos = 0
         self.prefixes: dict[str, str] = dict(kb.ns.short_to_long)
+        self._bnode_n = 0  # fresh-bnode counter for [ ... ] property lists
 
     # ---- token helpers ----
     def peek(self) -> str | None:
@@ -223,14 +224,63 @@ class _Parser:
                 else:
                     clauses.append((":union", *branches))
             else:
-                s = self._term(self.next())
-                p = self._path()
-                o = self._term(self.next())
-                clauses.append((s, p, o))
+                # TriplesSameSubjectPath with Turtle-style abbreviations
+                # (Jena accepts these in query strings): `;` predicate-object
+                # lists, `,` object lists, and `[ ... ]` blank-node property
+                # lists in subject or object position
+                was_pl = self.peek() == "["
+                s = self._subject_node(clauses)
+                # `[ pol ] .` alone is a complete triples block (the
+                # property list already emitted its triples)
+                if not (was_pl and self.peek() in (".", "}")):
+                    self._predicate_object_list(s, clauses)
                 if self.peek() == ".":
                     self.next()
         self.eat("}")
         return clauses
+
+    def _subject_node(self, clauses: list):
+        """Subject position: a term, or `[ pol ]` minting a fresh bnode whose
+        property list's triples are appended to `clauses`."""
+        if self.peek() == "[":
+            return self._bnode_property_list(clauses)
+        return self._term(self.next())
+
+    def _object_node(self, clauses: list):
+        if self.peek() == "[":
+            return self._bnode_property_list(clauses)
+        return self._term(self.next())
+
+    def _bnode_property_list(self, clauses: list):
+        """`[ p1 o1 ; p2 o2 ]` -> fresh non-capturing bnode (parse-local
+        gensym; bnodes in patterns are wildcard vars, sparql.clj:73-77)."""
+        self.eat("[")
+        self._bnode_n += 1
+        node = f"_/__pl{self._bnode_n}"
+        if self.peek() != "]":  # `[]` alone is just a fresh node
+            self._predicate_object_list(node, clauses)
+        self.eat("]")
+        return node
+
+    def _predicate_object_list(self, s, clauses: list) -> None:
+        """verb objectList (';' (verb objectList)?)* — appends (s, p, o)
+        clauses; verbs may be property paths."""
+        while True:
+            p = self._path()
+            while True:
+                o = self._object_node(clauses)
+                clauses.append((s, p, o))
+                if self.peek() == ",":
+                    self.next()
+                    continue
+                break
+            if self.peek() == ";":
+                self.next()
+                # trailing ';' before '.', '}' or ']' is legal
+                if self.peek() in (".", "}", "]", ";", None):
+                    break
+                continue
+            break
 
     def _var_ref(self, where: str) -> str:
         """Consume a token that MUST be a ?var/$var (ADVICE r2: silent

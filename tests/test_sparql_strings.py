@@ -343,3 +343,55 @@ def test_subquery_union_branch_clear_error(kb):
             + """SELECT ?x WHERE {
                   { SELECT ?x WHERE { ?x foaf:age ?a } } UNION { ?x foaf:surname ?s } }"""
         )
+
+
+# ---- Turtle-style abbreviations in query strings (Jena-surface parity) ----
+
+
+def test_predicate_object_lists(kb):
+    load_fixture(kb, TEST_TRIPLES_NUMBERS)
+    rows = kb.sparql_query(
+        PREFIXES
+        + """SELECT ?x ?s ?a WHERE {
+              ?x foaf:surname ?s ; foaf:age ?a . }"""
+    )
+    assert len(rows) == 3
+    assert {(b["s"].v, b["a"].v) for b in rows} == {
+        ("Hacker", "40"), ("Hacker", "50")
+    }
+    # object list with ','
+    rows = kb.sparql_query(
+        PREFIXES + 'SELECT ?x WHERE { ?x foaf:age 40 , ?a . }'
+    )
+    assert {b["x"].v.rsplit("/", 1)[-1] for b in rows} == {"a", "b"}
+    # trailing semicolon before the dot is legal
+    rows = kb.sparql_query(
+        PREFIXES + "SELECT ?x WHERE { ?x foaf:surname ?s ; . }"
+    )
+    assert len(rows) == 3
+
+
+def test_blank_node_property_lists(kb):
+    load_fixture(kb, TEST_TRIPLES_NUMBERS)
+    # subject position: fresh non-capturing bnode
+    rows = kb.sparql_query(
+        PREFIXES
+        + 'SELECT ?a WHERE { [ foaf:surname "Hacker"@en ; foaf:age ?a ] . }'
+    )
+    assert {b["a"].v for b in rows} == {"40", "50"}
+    # object position, nested
+    kb.add_statements(
+        [
+            ("ex/z", "ex/owns", "ex/car1"),
+            ("ex/car1", "ex/color", "ex/red"),
+        ]
+    )
+    rows = kb.sparql_query(
+        PREFIXES + "SELECT ?z WHERE { ?z ex:owns [ ex:color ex:red ] . }"
+    )
+    assert {b["z"].v.rsplit("/", 1)[-1] for b in rows} == {"z"}
+    # the bnode vars must NOT leak into SELECT *
+    rows = kb.sparql_query(
+        PREFIXES + "SELECT * WHERE { ?z ex:owns [ ex:color ex:red ] . }"
+    )
+    assert set(rows[0].keys()) == {"z"}
