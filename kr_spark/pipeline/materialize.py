@@ -319,6 +319,7 @@ def run_pipeline(
     n_buckets: int = 8,
     fail_after: int | None = None,
     use_arrow_extractor: bool = True,
+    snapshot_input: bool = True,
 ) -> DataFrame:
     """End-to-end: input snapshot + resumable extract stage + global
     materialize.
@@ -326,9 +327,34 @@ def run_pipeline(
     On resume into an existing out_dir the snapshot's recorded n_buckets is
     authoritative: extracting with a smaller count would iterate fewer
     buckets than the snapshot's __bucket assignment and silently drop the
-    rest (ADVICE r1, medium)."""
-    effective = snapshot_n_buckets(out_dir) or n_buckets
-    snapshot = ingest_transcripts(spark, transcripts, out_dir, n_buckets=effective)
+    rest (ADVICE r1, medium).
+
+    snapshot_input=False skips the ingest copy and buckets the input
+    VIRTUALLY (a pmod(xxhash64(conv_id)) filter per bucket job). Right
+    when the input is already a durable immutable table (an Iceberg
+    snapshot / committed parquet) — at 100 TB the snapshot is a full
+    rewrite of the corpus. Trade-off: without the physical __bucket
+    partitioning, each bucket job's filter is a full scan (n_buckets-fold
+    read amplification on a plain parquet path; an Iceberg table
+    bucket-partitioned by conv_id prunes it back to 1/n). Resume stability
+    then rests on the TABLE's immutability instead of the local snapshot."""
+    if snapshot_input:
+        effective = snapshot_n_buckets(out_dir) or n_buckets
+        snapshot = ingest_transcripts(spark, transcripts, out_dir, n_buckets=effective)
+    else:
+        # same resume guarantee without a snapshot: pin n_buckets in a
+        # sidecar so a resume can't silently re-bucket with a different
+        # count (the ADVICE r1 hazard, virtual-bucket edition)
+        meta = os.path.join(out_dir, "_n_buckets.json")
+        if os.path.exists(meta):
+            with open(meta) as f:
+                effective = int(json.load(f)["n_buckets"])
+        else:
+            os.makedirs(out_dir, exist_ok=True)
+            with open(meta, "w") as f:
+                json.dump({"n_buckets": n_buckets}, f)
+            effective = n_buckets
+        snapshot = transcripts  # bucketed virtually in run_extract_stage
     run_extract_stage(
         spark,
         snapshot,

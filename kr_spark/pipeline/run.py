@@ -35,6 +35,14 @@ def main() -> None:
         "input_hint (conv_id, turn_idx, role, text, tool, ts). "
         "--n-convs is ignored when set",
     )
+    ap.add_argument(
+        "--no-snapshot",
+        action="store_true",
+        help="skip the ingest snapshot and bucket the input virtually — use "
+        "when --input is already a durable immutable table (Iceberg "
+        "snapshot / committed parquet); avoids rewriting the corpus at the "
+        "cost of per-bucket scan amplification on unpartitioned sources",
+    )
     ap.add_argument("--out", required=True)
     ap.add_argument("--buckets", type=int, default=16)
     ap.add_argument("--cores", type=int, default=None, help="local[N]; default local[*]")
@@ -81,6 +89,7 @@ def main() -> None:
         args.out,
         n_buckets=args.buckets,
         use_arrow_extractor=(args.extractor == "arrow"),
+        snapshot_input=not args.no_snapshot,
     )
     n_triples = triples.count()
     wall = time.time() - t0

@@ -57,3 +57,37 @@ def test_snapshot_n_buckets_sidecar(spark, tmp_path):
     assert snapshot_n_buckets(out) is None
     ingest_transcripts(spark, generate_transcripts(spark, 8), out, n_buckets=4)
     assert snapshot_n_buckets(out) == 4
+
+
+def test_no_snapshot_pipeline_and_resume(spark, tmp_path):
+    # snapshot_input=False: the input (already a durable table) is bucketed
+    # virtually; output matches the snapshotting path bit-for-bit, resume
+    # skips completed buckets, and the pinned n_buckets sidecar wins over a
+    # different resume value
+    from kr_spark.pipeline.materialize import (
+        completed_buckets,
+        run_pipeline,
+    )
+    from kr_spark.pipeline.transcripts import generate_transcripts
+
+    inp = str(tmp_path / "transcripts")
+    generate_transcripts(spark, 400).write.parquet(inp)
+    durable = spark.read.parquet(inp)
+
+    out_a = str(tmp_path / "with_snap")
+    out_b = str(tmp_path / "no_snap")
+    ta = run_pipeline(spark, durable, out_a, n_buckets=4)
+    tb = run_pipeline(spark, durable, out_b, n_buckets=4, snapshot_input=False)
+    rows_a = sorted(map(tuple, ta.select("s", "p", "o").collect()))
+    rows_b = sorted(map(tuple, tb.select("s", "p", "o").collect()))
+    assert rows_a == rows_b and len(rows_b) > 0
+
+    # resume: all 4 buckets committed, a re-run skips them and reproduces
+    done = completed_buckets(out_b)
+    assert done == {0, 1, 2, 3}
+    tb2 = run_pipeline(
+        spark, durable, out_b, n_buckets=99, snapshot_input=False
+    )  # wrong resume count: the sidecar (4) must win
+    rows_b2 = sorted(map(tuple, tb2.select("s", "p", "o").collect()))
+    assert rows_b2 == rows_b
+    assert completed_buckets(out_b) == {0, 1, 2, 3}
