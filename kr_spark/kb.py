@@ -299,27 +299,40 @@ class KB:
         if select_vars is not None:
             want = [self.term(v).v if "/" in str(v) else str(v) for v in select_vars]
             cols = [c for c in want if c in plan.all_vars]
+        if order_by and not distinct:
+            # §18.2.5: ORDER BY precedes projection, so sort keys may be
+            # non-projected vars or expressions over them; the narrow
+            # projection below preserves the order
+            df = df.orderBy(*self._order_cols(order_by, set(plan.all_vars)))
         df = df.select(*cols)
         if distinct:
             df = df.dropDuplicates()
-        if order_by:
-            df = df.orderBy(*self._order_cols(order_by))
+            if order_by:
+                # DISTINCT re-shuffles; re-sort on the projected columns
+                # (spec requires ordering keys be projected in this case)
+                df = df.orderBy(*self._order_cols(order_by, set(cols)))
         if offset:
             df = df.offset(offset)
         if limit is not None:
             df = df.limit(limit)
         return df
 
-    def _order_cols(self, order_by: list[tuple[str, str]]) -> list:
+    def _order_cols(self, order_by: list[tuple], plan_vars: set | None = None) -> list:
         """ORDER BY keys over term-struct columns: SPARQL-ish total order —
         unbound < numeric-by-value < everything-else-by-lexical-form
-        (SPARQL 1.1 §15.1; ties broken by full struct for determinism)."""
+        (SPARQL 1.1 §15.1; ties broken by full struct for determinism).
+        A ref may also be a filter/BIND s-expression (ORDER BY STRLEN(?x))
+        — compiled to a term struct and keyed the same way."""
+        from kr_spark.plans.filters import compile_value_expr
         from kr_spark.terms import NUMERIC_DATATYPES
 
         out = []
         for ref, direction in order_by:
-            name = self.term(ref).v if "/" in str(ref) else str(ref)
-            c = F.col(name)
+            if isinstance(ref, (list, tuple)):
+                c = compile_value_expr(self, ref, plan_vars or set())
+            else:
+                name = self.term(ref).v if "/" in str(ref) else str(ref)
+                c = F.col(name)
             key = F.struct(
                 c.isNotNull().cast("int").alias("bound"),
                 (~c["dt"].isin(*sorted(NUMERIC_DATATYPES))).cast("int").alias("nonnum"),
@@ -442,10 +455,15 @@ class KB:
         if order_by:
             keys = []
             for ref, direction in order_by:
-                nm = self.term(ref).v if "/" in str(ref) else str(ref)
-                c = F.col(nm)
-                if nm in gcols:  # struct column -> order by lexical form
-                    c = c["v"]
+                if isinstance(ref, (list, tuple)):
+                    # expression key over aliases/group vars, e.g.
+                    # ORDER BY DESC(?cnt / ?total) — same resolution as HAVING
+                    c = self._having_expr(ref, out)
+                else:
+                    nm = self.term(ref).v if "/" in str(ref) else str(ref)
+                    c = F.col(nm)
+                    if nm in gcols:  # struct column -> order by lexical form
+                        c = c["v"]
                 keys.append(c.desc() if str(direction).lower() == "desc" else c.asc())
             out = out.orderBy(*keys)
         if offset:

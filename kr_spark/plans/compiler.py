@@ -532,7 +532,12 @@ def _compile_subquery(kb, q: dict) -> CompiledPattern:
     on shared variables. Aggregate subqueries re-box their plain aggregate
     columns as term structs so they join/filter like any other binding:
     long -> xsd:integer, decimal -> trimmed-lexical xsd:decimal,
-    double -> xsd:double, string -> plain literal."""
+    double -> xsd:double, string -> plain literal.
+
+    Limitation: a sub-SELECT inside GRAPH <g> {...} evaluates against ALL
+    graphs (the enclosing scope does not propagate into kb.query_df /
+    aggregate_df) — scope the inner pattern's triples with explicit quad
+    clauses if graph-restricted subquery semantics are needed."""
     if q["type"] == "select":
         df = kb.query_df(
             q["pattern"],

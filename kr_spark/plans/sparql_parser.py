@@ -686,11 +686,14 @@ class _Parser:
                     if self.at_kw("asc") or self.at_kw("desc"):
                         d = self.next().lower()
                         self.eat("(")
-                        v = self.next()
+                        e = self._or_expr()  # var or full expression
                         self.eat(")")
-                        out["order_by"].append(("?/" + v[1:], d))
+                        out["order_by"].append((e, d))
                     elif self.peek() and self.peek()[0] in "?$":
                         out["order_by"].append(("?/" + self.next()[1:], "asc"))
+                    elif self.peek() and self.peek().lower() in self._FN:
+                        # bare expression key: ORDER BY STRLEN(?x)
+                        out["order_by"].append((self._primary(), "asc"))
                     else:
                         break
             elif self.at_kw("limit"):

@@ -533,3 +533,32 @@ def test_emit_roundtrip_new_forms(kb):
         ]
     )
     assert {_ln(b["x"]) for b in rows} == {"b", "c"}
+
+
+def test_order_by_expression_and_nonprojected_var(kb):
+    load_fixture(kb, TEST_TRIPLES_NUMBERS)
+    # expression key (fn:string-length) inside DESC(...)
+    rows = kb.sparql_query(
+        PREFIXES
+        + """SELECT ?f WHERE { ?x foaf:firstname ?f . }
+            ORDER BY DESC(STRLEN(?f))"""
+    )
+    assert [b["f"].v for b in rows] == ["Fred", "Bob"]
+    # bare expression key
+    rows = kb.sparql_query(
+        PREFIXES
+        + "SELECT ?f WHERE { ?x foaf:firstname ?f . } ORDER BY STRLEN(?f)"
+    )
+    assert [b["f"].v for b in rows] == ["Bob", "Fred"]
+    # 18.2.5: ORDER BY precedes projection, so a NON-projected var may key
+    rows = kb.sparql_query(
+        PREFIXES
+        + "SELECT ?x WHERE { ?x foaf:age ?a . ?x foaf:surname ?s . } ORDER BY DESC(?a) ?x"
+    )
+    assert [b["x"].v.rsplit("/", 1)[-1] for b in rows] == ["c", "a", "b"]
+    # arithmetic expression key mixing a var and a constant
+    rows = kb.sparql_query(
+        PREFIXES
+        + "SELECT ?x WHERE { ?x foaf:age ?a . } ORDER BY DESC(?a * 2) ?x"
+    )
+    assert [b["x"].v.rsplit("/", 1)[-1] for b in rows] == ["c", "a", "b"]
