@@ -71,12 +71,14 @@ def main() -> None:
 
     t0 = time.time()
     if args.input:
-        # a real transcripts table: Iceberg identifier when a catalog can
-        # resolve it, else a parquet path — both produce the input_hint frame
-        try:
-            transcripts = spark.table(args.input)
-        except Exception:
+        # a real transcripts table: path-looking inputs (contain a slash or
+        # exist on disk) read as parquet; everything else resolves as a
+        # catalog table identifier (Iceberg), so catalog errors surface
+        # instead of degrading into a confusing parquet-path failure
+        if "/" in args.input or os.path.exists(args.input):
             transcripts = spark.read.parquet(args.input)
+        else:
+            transcripts = spark.table(args.input)
         n_turns_in = transcripts.count()
         n_convs_reported = None
     else:
