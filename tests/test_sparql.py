@@ -160,6 +160,105 @@ def test_bound_not_bound(kb):
     assert res[0]["name"].v == "Bob"
 
 
+def test_optional_filter_outer_var(kb):
+    # SPARQL §8.3.3 LeftJoin(A, B, F): F evaluates over the MERGED solution,
+    # so a filter inside OPTIONAL referencing an outer-group var conditions
+    # the join — it must NOT drop the optional bindings for rows where the
+    # outer value satisfies it (Jena behavior; VERDICT r3 'What's wrong #1').
+    kb.add_statements(
+        [
+            ("ex/a", "foaf/name", "Alice"),
+            ("ex/a", "foaf/knows", "ex/b"),
+            ("ex/b", "foaf/name", "Bob"),
+        ]
+    )
+    res = kb.query(
+        [
+            ("?/x", "foaf/name", "?/n"),
+            (":optional", ("?/x", "foaf/knows", "?/k"), ("=", "?/n", "Alice")),
+        ]
+    )
+    by_name = {b["n"].v: b for b in res}
+    assert len(res) == 2
+    assert by_name["Alice"]["k"].v == "http://www.example.org/b"
+    assert "k" not in by_name["Bob"]
+
+    # control: filter over inner vars only is unchanged (evaluates inside)
+    res = kb.query(
+        [
+            ("?/x", "foaf/name", "?/n"),
+            (":optional", ("?/x", "foaf/knows", "?/k"),
+             ("=", "?/k", "<http://www.example.org/b>")),
+        ]
+    )
+    by_name = {b["n"].v: b for b in res}
+    assert by_name["Alice"]["k"].v == "http://www.example.org/b"
+    assert "k" not in by_name["Bob"]
+
+
+def test_optional_filter_outer_var_string_surface(kb):
+    # same LeftJoin semantics through the raw-SPARQL string path; STR()
+    # sidesteps the default-language tag on the stored literal
+    kb.add_statements(
+        [
+            ("ex/a", "foaf/name", "Alice"),
+            ("ex/a", "foaf/knows", "ex/b"),
+            ("ex/b", "foaf/name", "Bob"),
+        ]
+    )
+    rows = kb.sparql_query(
+        """PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+           SELECT ?n ?k WHERE {
+             ?x foaf:name ?n
+             OPTIONAL { ?x foaf:knows ?k FILTER(STR(?n) = "Alice") } }"""
+    )
+    by_name = {b["n"].v: b for b in rows}
+    assert len(rows) == 2
+    assert by_name["Alice"]["k"].v == "http://www.example.org/b"
+    assert "k" not in by_name["Bob"]
+
+
+def test_optional_filter_nowhere_bound_var(kb):
+    # a filter var bound in NEITHER side: expression error -> false -> the
+    # join never matches, every left row survives bare (never a crash)
+    kb.add_statements(
+        [
+            ("ex/a", "foaf/name", "Alice"),
+            ("ex/a", "foaf/knows", "ex/b"),
+        ]
+    )
+    res = kb.query(
+        [
+            ("?/x", "foaf/name", "?/n"),
+            (":optional", ("?/x", "foaf/knows", "?/k"), ("=", "?/ghost", 1)),
+        ]
+    )
+    assert len(res) == 1 and "k" not in res[0]
+
+
+def test_optional_filter_mixed_outer_inner(kb):
+    # filter referencing both an outer var and an optional-side var joins on
+    # the combined condition
+    kb.add_statements(
+        [
+            ("ex/a", "foaf/age", 30),
+            ("ex/a", "foaf/bonus", 40),
+            ("ex/b", "foaf/age", 50),
+            ("ex/b", "foaf/bonus", 40),
+        ]
+    )
+    res = kb.query(
+        [
+            ("?/x", "foaf/age", "?/age"),
+            (":optional", ("?/x", "foaf/bonus", "?/b"), ("<", "?/age", "?/b")),
+        ]
+    )
+    by_age = {int(b["age"].v): b for b in res}
+    assert len(res) == 2
+    assert by_age[30]["b"].v == "40"
+    assert "b" not in by_age[50]
+
+
 def test_numeric_equality_value_space(kb):
     # test_sparql.clj:182-190 — ages equal across typed/untyped, persons differ
     load_fixture(kb, TEST_TRIPLES_NUMBERS)
