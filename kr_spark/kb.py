@@ -67,6 +67,41 @@ def anti_join_null_safe(new: DataFrame, existing: DataFrame, keys: list[str]) ->
     return new.join(ex, cond, "left_anti")
 
 
+def _box_agg_columns(df: DataFrame, aliases: set) -> DataFrame:
+    """Box plain aggregate output columns as term structs so aggregates are
+    one uniform surface at the top level and inside sub-SELECTs (VERDICT r3
+    wrong #6): long/int -> xsd:integer, decimal -> trimmed-lexical
+    xsd:decimal, double -> xsd:double, boolean -> xsd:boolean, string ->
+    plain literal. MIN/MAX/SAMPLE already return the winning term struct."""
+    from kr_spark.plans.filters import _XSD, _mk_term, _trim_decimal
+
+    cols = []
+    for field in df.schema.fields:
+        c = F.col(field.name)
+        if field.name not in aliases or isinstance(field.dataType, T.StructType):
+            cols.append(c)
+            continue
+        t = field.dataType
+        if isinstance(t, (T.LongType, T.IntegerType)):
+            s = _mk_term(F.lit("literal"), c.cast("string"), dt=F.lit(_XSD + "integer"))
+        elif isinstance(t, T.DecimalType):
+            s = _mk_term(F.lit("literal"), _trim_decimal(c), dt=F.lit(_XSD + "decimal"))
+        elif isinstance(t, T.DoubleType):
+            s = _mk_term(F.lit("literal"), c.cast("string"), dt=F.lit(_XSD + "double"))
+        elif isinstance(t, T.BooleanType):
+            s = _mk_term(
+                F.lit("literal"),
+                F.when(c, F.lit("true")).otherwise(F.lit("false")),
+                dt=F.lit(_XSD + "boolean"),
+            )
+        elif isinstance(t, T.StringType):
+            s = _mk_term(F.lit("literal"), c)
+        else:
+            s = _mk_term(F.lit("literal"), c.cast("string"))
+        cols.append(F.when(c.isNotNull(), s).alias(field.name))
+    return df.select(*cols)
+
+
 def triple_row(
     s: Term,
     p: Term,
@@ -356,26 +391,37 @@ class KB:
         limit: int | None = None,
         offset: int | None = None,
         select_order: list[str] | None = None,
+        proj_exprs: list[tuple] | None = None,
     ) -> DataFrame:
         """GROUP BY + aggregates (SPARQL 1.1 §11; Jena runs these for the
         reference via raw strings — sparql.clj:560-603 hands text to the
-        backend verbatim). Group-var columns stay term structs; COUNT/SUM/
-        AVG/GROUP_CONCAT columns are plain (long counts, decimal sums,
-        string concats) since they mint NEW literals, while MIN/MAX/SAMPLE
-        return the winning TERM struct (§18.5.1.7-8 — they select an
-        existing RDF term, datatype and all).
+        backend verbatim). EVERY output column is a term struct: group vars
+        pass through; COUNT mints xsd:integer, SUM/AVG mint xsd:decimal (the
+        engine's numeric value space), GROUP_CONCAT a plain literal, while
+        MIN/MAX/SAMPLE return the winning TERM (§18.5.1.7-8 — they select an
+        existing RDF term, datatype and all). One boxed surface at both the
+        top level and the sub-SELECT path (VERDICT r3 wrong #6) — HAVING and
+        ORDER BY run the standard value-space machinery over the structs.
 
-        agg spec: (op, operand_var_or_None, alias[, distinct[, separator]])
-        with op in count/sum/avg/min/max/group_concat/sample. GROUP_CONCAT
-        sorts its operands for a deterministic result (the spec leaves the
-        order undefined). One shuffle on the grouping key; partial (map-side)
+        agg spec: (op, operand, alias[, distinct[, separator]]) with op in
+        count/sum/avg/min/max/group_concat/sample; operand is None (COUNT *),
+        a '?/var' ref, or a full expression s-expr (SUM(?price * ?qty) —
+        computed as a pre-aggregation column, one pass). GROUP_CONCAT sorts
+        its operands for a deterministic result (the spec leaves the order
+        undefined). One shuffle on the grouping key; partial (map-side)
         aggregation applies to all of these ops at scale.
 
-        select_order: SELECT-list column names (group vars + agg aliases) in
-        appearance order; validates that every projected var is grouped
-        (SPARQL §18.2.4.4 — selecting a non-grouped var is a query error,
-        previously silently dropped; ADVICE r2) and projects/reorders the
-        output to the SELECT list."""
+        select_order: SELECT-list column names in appearance order;
+        validates that every projected var is grouped (SPARQL §18.2.4.4 —
+        selecting a non-grouped var is a query error; ADVICE r2) and
+        projects/reorders the output to the SELECT list (hidden aliases
+        minted for HAVING/ORDER BY aggregate expressions drop out here).
+
+        proj_exprs: SELECT-list (expr AS ?alias) items (§18.2.4.4 Extend) —
+        computed over the grouped output (group vars, aggregate aliases,
+        earlier projection aliases)."""
+        from kr_spark.plans.compiler import _collect_expr_vars
+        from kr_spark.plans.filters import compile_filter_expr, compile_value_expr
         from kr_spark.terms import NUMERIC_DATATYPES
 
         plan = self.plan(pattern)
@@ -385,6 +431,26 @@ class KB:
             if g not in plan.all_vars:
                 raise ValueError(f"GROUP BY var ?{g} not bound in pattern")
         num_list = sorted(NUMERIC_DATATYPES)
+
+        # aggregate-over-expression operands: compute once, pre-shuffle
+        arg_cols: dict = {}
+        resolved_names: list = []
+        for i, spec in enumerate(aggs):
+            operand = spec[1]
+            if operand is None:
+                resolved_names.append(None)
+            elif isinstance(operand, str) or isinstance(operand, Term):
+                resolved_names.append(
+                    self.term(operand).v if "/" in str(operand) else str(operand)
+                )
+            else:  # expression s-expr
+                name = f"__aggarg{i}"
+                arg_cols[name] = compile_value_expr(
+                    self, operand, set(plan.all_vars)
+                )
+                resolved_names.append(name)
+        if arg_cols:
+            df = df.withColumns(arg_cols)
 
         def _num(name: str):
             c = F.col(name)
@@ -397,13 +463,10 @@ class KB:
             )
 
         agg_exprs = []
-        for spec in aggs:
-            op, operand, alias = spec[0], spec[1], spec[2]
+        for spec, name in zip(aggs, resolved_names):
+            op, alias = spec[0], spec[2]
             distinct = bool(spec[3]) if len(spec) > 3 else False
             sep = spec[4] if len(spec) > 4 else " "
-            name = None if operand is None else (
-                self.term(operand).v if "/" in str(operand) else str(operand)
-            )
             if op == "count":
                 if name is None:
                     e = F.count(F.lit(1))
@@ -439,9 +502,10 @@ class KB:
             agg_exprs.append(e.alias(alias))
 
         aliases = {spec[2] for spec in aggs}
+        proj_aliases = {a for _, a in (proj_exprs or [])}
         if select_order is not None:
             for name in select_order:
-                if name in aliases:
+                if name in aliases or name in proj_aliases:
                     continue
                 if name not in gcols:
                     raise ValueError(
@@ -450,22 +514,29 @@ class KB:
                     )
 
         out = df.groupBy(*gcols).agg(*agg_exprs) if gcols else df.agg(*agg_exprs)
+        out = _box_agg_columns(out, aliases)
+        # §18.2.4.4 Extend: SELECT expressions over the grouped solution
+        # (group vars, aggregate aliases, earlier projection aliases)
+        for expr, alias in proj_exprs or []:
+            refs: set = set()
+            _collect_expr_vars(self, expr, refs)
+            missing = refs - set(out.columns)
+            if missing:
+                raise ValueError(
+                    f"SELECT expression for ?{alias} references "
+                    f"non-grouped var(s) {sorted(missing)}"
+                )
+            out = out.withColumn(
+                alias, compile_value_expr(self, expr, set(out.columns))
+            )
         if having is not None:
-            out = out.filter(self._having_expr(having, out))
+            # boxed aggregate outputs run the standard value-space filter
+            # machinery (numeric compare on xsd-typed structs)
+            out = out.filter(
+                compile_filter_expr(self, having, out, set(out.columns))
+            )
         if order_by:
-            keys = []
-            for ref, direction in order_by:
-                if isinstance(ref, (list, tuple)):
-                    # expression key over aliases/group vars, e.g.
-                    # ORDER BY DESC(?cnt / ?total) — same resolution as HAVING
-                    c = self._having_expr(ref, out)
-                else:
-                    nm = self.term(ref).v if "/" in str(ref) else str(ref)
-                    c = F.col(nm)
-                    if nm in gcols:  # struct column -> order by lexical form
-                        c = c["v"]
-                keys.append(c.desc() if str(direction).lower() == "desc" else c.asc())
-            out = out.orderBy(*keys)
+            out = out.orderBy(*self._order_cols(order_by, set(out.columns)))
         if offset:
             out = out.offset(offset)
         if limit is not None:
@@ -473,40 +544,6 @@ class KB:
         if select_order is not None:
             out = out.select(*select_order)
         return out
-
-    def _having_expr(self, expr, df: DataFrame):
-        """HAVING over aggregate aliases: s-expr of comparisons/logic where a
-        '?/alias' ref resolves to the aggregate's plain output column."""
-        if isinstance(expr, (list, tuple)) and expr:
-            op = expr[0]
-            args = [self._having_expr(a, df) for a in expr[1:]]
-            if op == ":and":
-                c = args[0]
-                for a in args[1:]:
-                    c = c & a
-                return c
-            if op == ":or":
-                c = args[0]
-                for a in args[1:]:
-                    c = c | a
-                return c
-            if op in (":not", "!"):
-                return ~args[0]
-            if op in ("=", "!=", "<", ">", "<=", ">="):
-                l, r = args
-                return {
-                    "=": l == r, "!=": l != r, "<": l < r,
-                    ">": l > r, "<=": l <= r, ">=": l >= r,
-                }[op]
-            if op in ("*", "/", "+", "-"):
-                l, r = args
-                return {"*": l * r, "/": l / r, "+": l + r, "-": l - r}[op]
-            raise ValueError(f"unknown HAVING operator {op!r}")
-        if isinstance(expr, str) and expr.startswith("?/"):
-            name = self.term(expr).v
-            c = F.col(name)
-            return c["v"].cast("decimal(38,9)") if dict(df.dtypes).get(name, "").startswith("struct") else c
-        return F.lit(expr)
 
     def _row_to_binding(self, row: Row) -> dict:
         out = {}

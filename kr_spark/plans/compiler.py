@@ -580,10 +580,10 @@ _TERM_STRUCT_DDL = "struct<kind:string,v:string,lang:string,dt:string>"
 def _compile_subquery(kb, q: dict) -> CompiledPattern:
     """Sub-SELECT (SPARQL 1.1 §12): evaluated independently (bottom-up, no
     correlation per spec — unlike EXISTS) and joined into the outer group
-    on shared variables. Aggregate subqueries re-box their plain aggregate
-    columns as term structs so they join/filter like any other binding:
-    long -> xsd:integer, decimal -> trimmed-lexical xsd:decimal,
-    double -> xsd:double, string -> plain literal.
+    on shared variables. Aggregate columns arrive term-boxed from
+    aggregate_df (long -> xsd:integer, decimal -> trimmed-lexical
+    xsd:decimal, string -> plain literal) so they join/filter like any
+    other binding.
 
     Limitation: a sub-SELECT inside GRAPH <g> {...} evaluates against ALL
     graphs (the enclosing scope does not propagate into kb.query_df /
@@ -603,18 +603,9 @@ def _compile_subquery(kb, q: dict) -> CompiledPattern:
     if q["type"] != "aggregate":
         raise ValueError(f"unsupported subquery form {q['type']!r}")
 
-    from pyspark.sql.types import (
-        BooleanType,
-        DecimalType,
-        DoubleType,
-        IntegerType,
-        LongType,
-        StringType,
-        StructType,
-    )
-
-    from kr_spark.plans.filters import _XSD, _mk_term, _trim_decimal
-
+    # aggregate_df boxes every output column as a term struct (one surface
+    # at both levels — kb._box_agg_columns), so the result joins/filters
+    # like any other binding with no re-boxing here
     df = kb.aggregate_df(
         q["pattern"],
         group_by=q["group_by"],
@@ -624,40 +615,10 @@ def _compile_subquery(kb, q: dict) -> CompiledPattern:
         limit=q["limit"],
         offset=q.get("offset"),
         select_order=q.get("select_order"),
+        proj_exprs=q.get("proj_exprs") or None,
     )
-    aliases = {spec[2] for spec in q["aggs"]}
-    cols = []
-    for field in df.schema.fields:
-        if field.name not in aliases:
-            cols.append(F.col(field.name))
-            continue
-        c = F.col(field.name)
-        t = field.dataType
-        if isinstance(t, StructType):
-            cols.append(c)  # MIN/MAX/SAMPLE already return the term struct
-            continue
-        if isinstance(t, (LongType, IntegerType)):
-            s = _mk_term(F.lit("literal"), c.cast("string"), dt=F.lit(_XSD + "integer"))
-        elif isinstance(t, DecimalType):
-            s = _mk_term(
-                F.lit("literal"), _trim_decimal(c), dt=F.lit(_XSD + "decimal")
-            )
-        elif isinstance(t, DoubleType):
-            s = _mk_term(F.lit("literal"), c.cast("string"), dt=F.lit(_XSD + "double"))
-        elif isinstance(t, BooleanType):
-            s = _mk_term(
-                F.lit("literal"),
-                F.when(c, F.lit("true")).otherwise(F.lit("false")),
-                dt=F.lit(_XSD + "boolean"),
-            )
-        elif isinstance(t, StringType):
-            s = _mk_term(F.lit("literal"), c)
-        else:
-            s = _mk_term(F.lit("literal"), c.cast("string"))
-        cols.append(F.when(c.isNotNull(), s).alias(field.name))
-    out = df.select(*cols)
-    names = list(out.columns)
-    return CompiledPattern(out, names, names)
+    names = list(df.columns)
+    return CompiledPattern(df, names, names)
 
 
 def _compile_values(kb, vars_, rows) -> CompiledPattern:

@@ -482,6 +482,11 @@ class _Parser:
     def _primary(self):
         t = self.next()
         low = t.lower()
+        if low in self._AGGS and self.peek() == "(":
+            # aggregate call in expression position (HAVING(COUNT(?x) >= 2),
+            # ORDER BY DESC(COUNT(?n)), SELECT (COUNT(?x)+1 AS ?c)); resolved
+            # to a (possibly hidden) aggregate alias after the SELECT parses
+            return self._agg_call(low)
         if low in self._FN:
             self.eat("(")
             args = []
@@ -519,6 +524,7 @@ class _Parser:
             distinct = self.next().lower() == "distinct"
         select_vars: list[str] | None = None
         aggs: list[tuple] = []
+        proj_exprs: list[tuple] = []  # (expr, alias) — §18.2.4.4 Extend
         select_order: list[str] | None = None  # SELECT-list column order
         if self.peek() == "*":
             self.next()
@@ -532,16 +538,55 @@ class _Parser:
                     select_vars.append(v)
                     select_order.append(v[2:])
                 elif t == "(":
+                    # '(expr AS ?v)' — a bare aggregate call becomes an
+                    # aggregate item; anything else (incl. expressions with
+                    # nested aggregates) a projection expression
                     self.next()
-                    item = self._agg_item()
-                    aggs.append(item)
-                    select_order.append(item[2])  # alias
+                    node = self._or_expr()
+                    self.eat("as")
+                    alias = self._var_ref("AS")[2:]
+                    self.eat(")")
+                    if isinstance(node, tuple) and node and node[0] == ":agg":
+                        aggs.append((node[1], node[2], alias, node[3], node[4]))
+                    else:
+                        proj_exprs.append((node, alias))
+                        select_vars.append("?/" + alias)
+                    select_order.append(alias)
                 else:
                     break
         if self.at_kw("where"):
             self.next()
         pattern = self.group()
         mods = self._modifiers()
+
+        # resolve aggregate calls embedded in expressions (HAVING/ORDER BY/
+        # projection): each (':agg', ...) node becomes a reference to an
+        # aggregate alias — an existing one when the same call is already in
+        # the SELECT list, else a hidden minted alias computed alongside and
+        # dropped by the final SELECT-list projection.
+        def _resolve(expr):
+            if isinstance(expr, tuple) and expr and expr[0] == ":agg":
+                fn, operand, distinct, sep = expr[1], expr[2], expr[3], expr[4]
+                for spec in aggs:
+                    sd = bool(spec[3]) if len(spec) > 3 else False
+                    ss = spec[4] if len(spec) > 4 else " "
+                    if (spec[0], spec[1], sd, ss) == (fn, operand, distinct, sep):
+                        return "?/" + spec[2]
+                alias = f"__agg{len(aggs)}"
+                aggs.append((fn, operand, alias, distinct, sep))
+                return "?/" + alias
+            if isinstance(expr, tuple):
+                return tuple(_resolve(x) for x in expr)
+            return expr
+
+        if mods["having"] is not None:
+            mods["having"] = _resolve(mods["having"])
+        mods["order_by"] = [
+            (_resolve(ref) if isinstance(ref, tuple) else ref, d)
+            for ref, d in mods["order_by"]
+        ]
+        proj_exprs = [(_resolve(e), a) for e, a in proj_exprs]
+
         if (
             not subquery
             and len(aggs) == 1
@@ -549,6 +594,8 @@ class _Parser:
             and aggs[0][1] is None
             and not aggs[0][3]
             and not mods["group_by"]
+            and mods["having"] is None
+            and not proj_exprs
             and select_vars == []
         ):
             # plain SELECT (COUNT(*) AS ?c) — the kr-emitted count form
@@ -566,11 +613,21 @@ class _Parser:
                 "select_order": select_order,
                 "group_by": mods["group_by"],
                 "aggs": aggs,
+                "proj_exprs": proj_exprs,
                 "having": mods["having"],
                 "order_by": mods["order_by"],
                 "limit": mods["limit"],
                 "offset": mods["offset"],
             }
+        if proj_exprs:
+            # non-aggregate SELECT expressions extend each solution after
+            # the group evaluates (§18.2.4.4 Extend, before DISTINCT/ORDER):
+            # exactly a trailing BIND in the group — compile_pattern applies
+            # BINDs after the group's joins, and aliases may reference
+            # earlier SELECT-list aliases
+            pattern = list(pattern) + [
+                (":bind", e, "?/" + a) for e, a in proj_exprs
+            ]
         return {
             "type": "select",
             "pattern": pattern,
@@ -636,12 +693,12 @@ class _Parser:
 
     _AGGS = {"count", "sum", "avg", "min", "max", "group_concat", "sample"}
 
-    def _agg_item(self) -> tuple:
-        """'(' already eaten: AGG([DISTINCT] ?v|* [; SEPARATOR = "s"]) AS ?a ')'
-        -> (op, operand|None, alias, distinct, separator)."""
-        fn = self.next().lower()
-        if fn not in self._AGGS:
-            raise ValueError(f"unsupported projection expression {fn!r}")
+    def _agg_call(self, fn: str) -> tuple:
+        """Aggregate call body (fn name already consumed):
+        AGG([DISTINCT] expr|* [; SEPARATOR = "s"]) ->
+        (':agg', op, operand|None, distinct, separator). The operand may be
+        any expression (SPARQL 1.1 §18.4 aggregates apply to expressions,
+        e.g. SUM(?price * ?qty)) — a bare var parses to its '?/name' ref."""
         self.eat("(")
         distinct = False
         if self.at_kw("distinct"):
@@ -651,7 +708,7 @@ class _Parser:
         if self.peek() == "*":
             self.next()
         else:
-            operand = self._var_ref(fn.upper())
+            operand = self._or_expr()
         sep = " "
         if self.peek() == ";":
             self.next()
@@ -660,14 +717,15 @@ class _Parser:
             s = self._term(self.next())
             sep = s[0] if isinstance(s, list) else str(s)
         self.eat(")")
-        self.eat("as")
-        alias = self._var_ref("AS")[2:]
-        self.eat(")")
-        return (fn, operand, alias, distinct, sep)
+        return (":agg", fn, operand, distinct, sep)
+
 
     def _modifiers(self) -> dict:
         """GROUP BY / HAVING / ORDER BY / LIMIT / OFFSET (any LIMIT-OFFSET
-        order; HAVING references aggregate ALIASES, e.g. HAVING(?cnt > 5))."""
+        order). HAVING and ORDER BY accept aggregate aliases (HAVING(?cnt >
+        5)) and aggregate expressions (HAVING(COUNT(?n) >= 1), ORDER BY
+        DESC(COUNT(?n))) — the latter resolve to hidden aliases in
+        _parse_select."""
         out = {"group_by": [], "having": None, "order_by": [],
                "limit": None, "offset": None}
         while True:
@@ -691,8 +749,11 @@ class _Parser:
                         out["order_by"].append((e, d))
                     elif self.peek() and self.peek()[0] in "?$":
                         out["order_by"].append(("?/" + self.next()[1:], "asc"))
-                    elif self.peek() and self.peek().lower() in self._FN:
-                        # bare expression key: ORDER BY STRLEN(?x)
+                    elif self.peek() and (
+                        self.peek().lower() in self._FN
+                        or self.peek().lower() in self._AGGS
+                    ):
+                        # bare expression key: ORDER BY STRLEN(?x) / COUNT(?x)
                         out["order_by"].append((self._primary(), "asc"))
                     else:
                         break
@@ -712,8 +773,9 @@ def parse_sparql(kb, text: str) -> dict:
 
 
 def sparql_query_df(kb, text: str):
-    """SELECT (plain or aggregate) string -> DataFrame. Group vars keep the
-    term-struct columns; aggregate columns are plain values."""
+    """SELECT (plain or aggregate) string -> DataFrame. Every output column
+    is a term struct — aggregates included (COUNT -> xsd:integer literal,
+    SUM/AVG -> xsd:decimal; kb._box_agg_columns)."""
     q = parse_sparql(kb, text)
     if q["type"] == "select":
         return kb.query_df(
@@ -734,6 +796,7 @@ def sparql_query_df(kb, text: str):
             limit=q["limit"],
             offset=q.get("offset"),
             select_order=q.get("select_order"),
+            proj_exprs=q.get("proj_exprs") or None,
         )
     raise ValueError(f"not a SELECT query: {q['type']}")
 
