@@ -259,7 +259,7 @@ BENCH_QUERIES = [
     "q_ngram_jaccard",
     "q_minhash_lsh_pairs",
     "q_simhash",
-    "q_lang_id",
+    "q_textstats",
     "q_cosine_topk",
     "q_kg_pipeline",
 ]
@@ -396,7 +396,7 @@ def main() -> None:
     # session bring-up. Without this a cold run reads ~1.5-2x slower and is
     # not comparable across rounds.
     bench_kg_pipeline(spark, args.sf_dir, n_convs=400)
-    run_queries(spark, args.sf_dir, ["q_count_pattern", "q_lang_id"])
+    run_queries(spark, args.sf_dir, ["q_count_pattern", "q_textstats"])
 
     # Best-of-N per query (default 2 passes): single readings on this box
     # swing up to 3x from GC/fork/virtio noise even on an idle machine —
