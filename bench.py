@@ -401,10 +401,15 @@ def main() -> None:
     # Best-of-N per query (default 2 passes): single readings on this box
     # swing up to 3x from GC/fork/virtio noise even on an idle machine —
     # the min of two passes is the reproducible plan-cost figure and is the
-    # number BASELINE.md records.
+    # number BASELINE.md records. Each pass also records the raw md5 host
+    # probe (VERDICT r3 #7) so a driver-vs-builder per-query delta can be
+    # attributed to host capacity mechanically (see BENCH/BASELINE.md
+    # 'Host normalization') instead of by worktree re-measurement.
     queries: dict[str, float] = {}
     kg_best = None
+    pass_health: list[dict] = []
     for _ in range(max(1, args.passes)):
+        pass_health.append(_host_health())
         dt, n_turns, n_triples = bench_kg_pipeline(spark, args.sf_dir)
         if kg_best is None or dt < kg_best[0]:
             kg_best = (dt, n_turns, n_triples)
@@ -416,6 +421,11 @@ def main() -> None:
     dt, n_turns, n_triples = kg_best
     queries["kg_pipeline"] = round(dt, 3)
     tps = round(n_triples / dt, 1)
+    host_health = {
+        "md5_mops_single": max(h["md5_mops_single"] for h in pass_health),
+        "md5_mops_8proc": max(h["md5_mops_8proc"] for h in pass_health),
+        "passes": pass_health,
+    }
 
     total = round(sum(queries.values()), 3)
     print(
@@ -430,6 +440,7 @@ def main() -> None:
                 "kg_turns": n_turns,
                 "kg_triples": n_triples,
                 "cpus": args.cpus,
+                "host_health": host_health,
             }
         )
     )

@@ -337,23 +337,50 @@ def run_pipeline(
     partitioning, each bucket job's filter is a full scan (n_buckets-fold
     read amplification on a plain parquet path; an Iceberg table
     bucket-partitioned by conv_id prunes it back to 1/n). Resume stability
-    then rests on the TABLE's immutability instead of the local snapshot."""
+    then rests on the TABLE's immutability instead of the local snapshot.
+
+    Both modes record their bucketing pin (snapshot: inside the snapshot
+    dir; virtual: an out_dir sidecar) and BOTH pins are consulted on every
+    run — resuming an out_dir in the other mode, or with disagreeing pins,
+    raises instead of silently re-bucketing against already-committed
+    extract manifests (ADVICE r3, medium)."""
+    snap_pin = snapshot_n_buckets(out_dir)
+    meta = os.path.join(out_dir, "_n_buckets.json")
+    side_pin = side_mode = None
+    if os.path.exists(meta):
+        with open(meta) as f:
+            d = json.load(f)
+        side_pin = int(d["n_buckets"])
+        side_mode = d.get("mode", "virtual")
+    if snap_pin is not None and side_pin is not None and snap_pin != side_pin:
+        raise ValueError(
+            f"out_dir {out_dir!r} carries conflicting n_buckets pins: "
+            f"snapshot={snap_pin} sidecar={side_pin} — refuse to resume"
+        )
+    mode = "snapshot" if snapshot_input else "virtual"
+    recorded_mode = (
+        "snapshot" if snap_pin is not None
+        else (side_mode if side_pin is not None else None)
+    )
+    if recorded_mode is not None and recorded_mode != mode:
+        raise ValueError(
+            f"out_dir {out_dir!r} was started with {recorded_mode}-input "
+            f"mode; resume with the same mode or use a fresh out_dir "
+            f"(silent re-bucketing against committed extract manifests)"
+        )
+    effective = snap_pin if snap_pin is not None else (
+        side_pin if side_pin is not None else n_buckets
+    )
     if snapshot_input:
-        effective = snapshot_n_buckets(out_dir) or n_buckets
         snapshot = ingest_transcripts(spark, transcripts, out_dir, n_buckets=effective)
     else:
-        # same resume guarantee without a snapshot: pin n_buckets in a
-        # sidecar so a resume can't silently re-bucket with a different
-        # count (the ADVICE r1 hazard, virtual-bucket edition)
-        meta = os.path.join(out_dir, "_n_buckets.json")
-        if os.path.exists(meta):
-            with open(meta) as f:
-                effective = int(json.load(f)["n_buckets"])
-        else:
+        # same resume guarantee without a snapshot: pin n_buckets (and the
+        # input mode) in a sidecar so a resume can't silently re-bucket
+        # (the ADVICE r1 hazard, virtual-bucket edition)
+        if side_pin is None:
             os.makedirs(out_dir, exist_ok=True)
             with open(meta, "w") as f:
-                json.dump({"n_buckets": n_buckets}, f)
-            effective = n_buckets
+                json.dump({"n_buckets": effective, "mode": "virtual"}, f)
         snapshot = transcripts  # bucketed virtually in run_extract_stage
     run_extract_stage(
         spark,

@@ -79,7 +79,11 @@ def main() -> None:
             transcripts = spark.read.parquet(args.input)
         else:
             transcripts = spark.table(args.input)
-        n_turns_in = transcripts.count()
+        # input row count comes from the per-bucket extract manifests AFTER
+        # the run (each bucket's rows_in rides the write job via
+        # Observation) — a transcripts.count() here would add a whole extra
+        # corpus scan inside the timed window (ADVICE r3)
+        n_turns_in = None
         n_convs_reported = None
     else:
         transcripts = generate_transcripts(spark, args.n_convs)
@@ -95,6 +99,10 @@ def main() -> None:
     )
     n_triples = triples.count()
     wall = time.time() - t0
+    if n_turns_in is None:
+        from kr_spark.pipeline.materialize import read_manifests
+
+        n_turns_in = sum(m.get("rows_in", 0) for m in read_manifests(args.out))
     print(
         json.dumps(
             {

@@ -299,7 +299,16 @@ def compile_pattern(
     # errors out the same way).
     for positive, cl in exists_cls:
         inner = list(cl)
-        bound, expr_refs = _pattern_var_usage(kb, inner)
+        # unconditional bindings only (ADVICE r3): a var the inner group
+        # binds solely inside an OPTIONAL / in one UNION branch still takes
+        # the outer value by substitution where its branch leaves it
+        # unbound, so it param-joins like a never-bound var (the param's
+        # equi-join coalesces with the inner binding where that exists).
+        # Remaining known divergence, documented: for an outer row where
+        # such a var is ITSELF unbound, Jena leaves it free (the inner
+        # binding applies) while this compile treats the row as
+        # EXISTS-false (strict param match).
+        bound, expr_refs = _pattern_var_usage(kb, inner, include_conditional=False)
         corr = [v for v in acc.all_vars if v in expr_refs and v not in bound]
         if corr:
             pdf = acc.df.select(*corr)
@@ -341,13 +350,21 @@ def _collect_expr_vars(kb, expr, out: set) -> None:
             _collect_expr_vars(kb, x, out)
 
 
-def _pattern_var_usage(kb, clauses) -> tuple[set, set]:
-    """-> (vars bound by triple patterns / BIND / VALUES anywhere in the
-    group, vars referenced in expression position). Used to detect EXISTS
-    correlation: a var referenced only in expressions and never bound is a
-    substitution parameter. MINUS subtrees are skipped — SPARQL §8.3
-    evaluates MINUS without substitution, so outer refs there stay unbound
-    (and the existing NULL-struct compile already yields remove-nothing)."""
+def _pattern_var_usage(
+    kb, clauses, include_conditional: bool = True
+) -> tuple[set, set]:
+    """-> (vars bound by triple patterns / BIND / VALUES in the group, vars
+    referenced in expression position). Used to detect EXISTS correlation:
+    a var referenced in expressions and not bound is a substitution
+    parameter. MINUS subtrees are skipped — SPARQL §8.3 evaluates MINUS
+    without substitution, so outer refs there stay unbound (and the
+    existing NULL-struct compile already yields remove-nothing).
+
+    include_conditional=False counts only UNCONDITIONAL bindings: a var
+    bound solely inside an OPTIONAL, or in some-but-not-all UNION branches,
+    is NOT 'bound' (ADVICE r3: such vars must still participate in EXISTS
+    substitution — in the branch where they are unbound, Jena's substitute
+    sees the outer value, not NULL)."""
     bound: set = set()
     refs: set = set()
     for clause in clauses:
@@ -363,15 +380,26 @@ def _pattern_var_usage(kb, clauses) -> tuple[set, set]:
                 t = _slot_var(kb, payload[1])
                 if t is not None:
                     bound.add(t.v)
-        elif kind in ("group", "optional"):
-            b, r = _pattern_var_usage(kb, list(payload))
+        elif kind == "group":
+            b, r = _pattern_var_usage(kb, list(payload), include_conditional)
             bound |= b
             refs |= r
-        elif kind == "union":
-            for branch in payload:
-                b, r = _pattern_var_usage(kb, list(branch))
+        elif kind == "optional":
+            b, r = _pattern_var_usage(kb, list(payload), include_conditional)
+            if include_conditional:
                 bound |= b
+            refs |= r
+        elif kind == "union":
+            branch_bounds = []
+            for branch in payload:
+                b, r = _pattern_var_usage(kb, list(branch), include_conditional)
+                branch_bounds.append(b)
                 refs |= r
+            if include_conditional:
+                bound |= set().union(*branch_bounds)
+            elif branch_bounds:
+                # only vars bound in EVERY branch are unconditional
+                bound |= set.intersection(*branch_bounds)
         elif kind == "filter":
             _collect_expr_vars(kb, payload, refs)
         elif kind == "bind":
@@ -382,7 +410,7 @@ def _pattern_var_usage(kb, clauses) -> tuple[set, set]:
             for v in payload[0]:
                 bound.add(kb.term(v).v)
         elif kind in ("exists", "not-exists"):
-            b, r = _pattern_var_usage(kb, list(payload))
+            b, r = _pattern_var_usage(kb, list(payload), include_conditional)
             refs |= r - b  # inner-bound vars don't escape; free refs do
         elif kind == "subquery":
             q = payload
@@ -407,7 +435,7 @@ def _params_for(kb, clauses, params: CompiledPattern | None) -> CompiledPattern 
     subtrees pay the param join, and the parent then equi-joins on them."""
     if params is None:
         return None
-    bound, refs = _pattern_var_usage(kb, clauses)
+    bound, refs = _pattern_var_usage(kb, clauses, include_conditional=False)
     need = [v for v in params.all_vars if v in refs and v not in bound]
     if not need:
         return None
@@ -734,9 +762,13 @@ def _apply_exists(
     if not shared:
         df = acc.df.join(sub.df.limit(1), F.lit(True), how)
     else:
-        # EXISTS substitution semantics: an unbound LEFT var imposes no
-        # constraint; the right side must be bound to its own solution vars,
-        # so only left-null is compatible here (unlike MINUS). Correlated
+        # EXISTS substitution semantics: an unbound var on EITHER side
+        # imposes no constraint. A right-side (inner) var is null only when
+        # the inner group binds it conditionally (OPTIONAL / one UNION
+        # branch) and that branch missed — under Jena substitution the
+        # outer value stood in for it there, so the solution is compatible
+        # (ADVICE r3). Unconditionally-bound inner vars are never null, so
+        # this is exactly the old left-null-only rule for them. Correlated
         # params (strict_vars) are the exception: substituting an unbound
         # var leaves a free var whose filter errors to false, so those match
         # strictly (left-null never matches -> EXISTS false for that row).
@@ -748,7 +780,11 @@ def _apply_exists(
             if v in strict_vars:
                 c = F.col(v).isNotNull() & (F.col(v) == F.col(tmp))
             else:
-                c = F.col(v).isNull() | (F.col(v) == F.col(tmp))
+                c = (
+                    F.col(v).isNull()
+                    | F.col(tmp).isNull()
+                    | (F.col(v) == F.col(tmp))
+                )
             cond = c if cond is None else (cond & c)
         df = acc.df.join(sdf, cond, how)
     return CompiledPattern(df, acc.all_vars, acc.visible_vars)

@@ -50,6 +50,11 @@ def emit_term(kb, x) -> str:
     if t.kind == KIND_BNODE:
         return "_:" + t.v
     if t.kind == KIND_URI:
+        # chars outside an IRIREF (SPARQL grammar [139]) would break out of
+        # the <...> delimiters — a '>' or whitespace in the value is an
+        # injection vector on the remote write path, never a legal IRI
+        if any(c in t.v for c in "<>\"{}|^`\\ \n\r\t"):
+            raise ValueError(f"not a legal IRI for emission: {t.v!r}")
         return f"<{t.v}>"
     out = f'"{_escape(t.v)}"'
     if t.lang:

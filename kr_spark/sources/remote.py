@@ -167,7 +167,16 @@ class RemoteSparqlKB:
         body = "\n".join("  " + ln for ln in lines)
         if graph is not None:
             gt = self.term(graph)
-            body = f"  GRAPH <{gt.v}> {{\n{body}\n  }}"
+            # the graph slot takes only an IRI (SPARQL 1.1 Update GRAPH
+            # clause); emit through emit_term like the statement terms so a
+            # bnode/var/literal graph — or a value embedding '>' — raises
+            # or escapes instead of producing a malformed/injectable update
+            # (ADVICE r3)
+            if gt.kind != "uri":
+                raise ValueError(
+                    f"graph term must be an IRI, got {gt.kind} {gt.v!r}"
+                )
+            body = f"  GRAPH {emit_term(self, gt)} {{\n{body}\n  }}"
         self._http_update(f"INSERT DATA {{\n{body}\n}}")
 
     def count(self, pattern, limit: int | None = None) -> int:

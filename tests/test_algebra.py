@@ -711,3 +711,41 @@ def test_order_by_expression_and_nonprojected_var(kb):
         + "SELECT ?x WHERE { ?x foaf:age ?a . } ORDER BY DESC(?a * 2) ?x"
     )
     assert [b["x"].v.rsplit("/", 1)[-1] for b in rows] == ["c", "a", "b"]
+
+
+# ---- EXISTS substitution with conditionally-bound inner vars (ADVICE r3) --
+
+
+def test_exists_substitution_conditionally_bound_var(kb):
+    # FILTER EXISTS { OPTIONAL { ?s ex:p ?b } FILTER(?b > 5) } with ?b
+    # bound OUTER: where the optional misses, Jena's substitute puts the
+    # OUTER value into the filter (not NULL) — s3 (b=9, no ex:p) passes,
+    # s2 (b=3, optional matches 3) fails, s1 (b=7, optional matches 7)
+    # passes. A var bound only inside an inner OPTIONAL participates in
+    # substitution like a never-bound one.
+    load_fixture(
+        kb,
+        [
+            ("ex/s1", "ex/q", 7),
+            ("ex/s2", "ex/q", 3),
+            ("ex/s3", "ex/q", 9),
+            ("ex/s1", "ex/p", 7),
+            ("ex/s2", "ex/p", 3),
+        ],
+    )
+    rows = kb.query(
+        [
+            ("?/s", "ex/q", "?/b"),
+            (":exists", (":optional", ("?/s", "ex/p", "?/b")), (">", "?/b", 5)),
+        ]
+    )
+    assert sorted((_ln(r["s"]), r["b"].v) for r in rows) == [("s1", "7"), ("s3", "9")]
+
+    # NOT EXISTS of the same group is the complement
+    rows = kb.query(
+        [
+            ("?/s", "ex/q", "?/b"),
+            (":not-exists", (":optional", ("?/s", "ex/p", "?/b")), (">", "?/b", 5)),
+        ]
+    )
+    assert sorted(_ln(r["s"]) for r in rows) == ["s2"]

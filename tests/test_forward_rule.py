@@ -577,3 +577,84 @@ def test_owl_rl_round3_rules(kb):
     assert kb.ask_rdf("ex/apple", "rdf/type", "ex/R")            # cls-hv2
     assert kb.ask_rdf("ex/pa", "rdf/type", "ex/ParentOfDoctor")  # cls-svf1
     assert kb.ask_rdf("ex/carrot", "rdf/type", "ex/Vegetable")   # cls-avf
+
+
+def test_prp_fp_applies_to_blank_node_objects(kb):
+    # ADVICE r3: prp-fp excludes only LITERAL objects — sameAs between
+    # blank-node objects of a FunctionalProperty must be inferred (the old
+    # isIRI-only guard silently under-entailed); literal objects still
+    # produce nothing.
+    from kr_spark.operators.entailment import materialize_entailments
+
+    kb.add_statements(
+        [
+            ("ex/hasMother", "rdf/type", "owl/FunctionalProperty"),
+            ("ex/kid", "ex/hasMother", "_/m1"),
+            ("ex/kid", "ex/hasMother", "_/m2"),
+            ("ex/nick", "rdf/type", "owl/FunctionalProperty"),
+            ("ex/kid", "ex/nick", ["Ann"]),
+            ("ex/kid", "ex/nick", ["Annie"]),
+        ]
+    )
+    materialize_entailments(kb, "owl")
+    same = kb.query([("?/a", "owl/sameAs", "?/b")])
+    kinds = {(r["a"].kind, r["b"].kind) for r in same}
+    assert ("bnode", "bnode") in kinds            # bnode pair inferred
+    assert all(k != "literal" for pair in kinds for k in pair)
+
+
+def test_owl_scm_domain_range_closure(kb):
+    # r4 schema-closure rules (OWL 2 RL table 9): domain/range widen through
+    # subClassOf and inherit down subPropertyOf — composed with rdfs2/rdfs3
+    # the instance types follow
+    from kr_spark.operators.entailment import materialize_entailments
+
+    kb.add_statements(
+        [
+            ("ex/hasPet", "rdfs/domain", "ex/PetOwner"),
+            ("ex/PetOwner", "rdfs/subClassOf", "ex/Person"),
+            ("ex/hasDog", "rdfs/subPropertyOf", "ex/hasPet"),
+            ("ex/hasPet", "rdfs/range", "ex/Pet"),
+            ("ex/alice", "ex/hasDog", "ex/rex"),
+        ]
+    )
+    materialize_entailments(kb, "owl")
+    assert kb.ask_rdf("ex/hasPet", "rdfs/domain", "ex/Person")   # scm-dom1
+    assert kb.ask_rdf("ex/hasDog", "rdfs/domain", "ex/PetOwner") # scm-dom2
+    assert kb.ask_rdf("ex/hasDog", "rdfs/range", "ex/Pet")       # scm-rng2
+    assert kb.ask_rdf("ex/alice", "rdf/type", "ex/Person")       # + rdfs2
+    assert kb.ask_rdf("ex/rex", "rdf/type", "ex/Pet")            # + rdfs3
+
+
+def test_owl_delta_exclusions_pinned(kb):
+    # Pinned divergences vs Jena's :owl rule reasoner (entailment.py
+    # docstring table): RDF-list class expressions (intersectionOf) and
+    # property chains are documented EXCLUSIONS — these fixtures show
+    # exactly what Jena would additionally entail and assert that this
+    # engine (by design) does not.
+    from kr_spark.operators.entailment import materialize_entailments
+
+    kb.add_statements(
+        [
+            # intersectionOf: Father = Man ∩ Parent (RDF list)
+            ("ex/Father", "owl/intersectionOf", "_/l1"),
+            ("_/l1", "rdf/first", "ex/Man"),
+            ("_/l1", "rdf/rest", "_/l2"),
+            ("_/l2", "rdf/first", "ex/Parent"),
+            ("_/l2", "rdf/rest", "rdf/nil"),
+            ("ex/bob", "rdf/type", "ex/Man"),
+            ("ex/bob", "rdf/type", "ex/Parent"),
+            # propertyChainAxiom: hasGrandparent = hasParent o hasParent
+            ("ex/hasGrandparent", "owl/propertyChainAxiom", "_/c1"),
+            ("_/c1", "rdf/first", "ex/hasParent"),
+            ("_/c1", "rdf/rest", "_/c2"),
+            ("_/c2", "rdf/first", "ex/hasParent"),
+            ("_/c2", "rdf/rest", "rdf/nil"),
+            ("ex/kid", "ex/hasParent", "ex/mom"),
+            ("ex/mom", "ex/hasParent", "ex/gran"),
+        ]
+    )
+    materialize_entailments(kb, "owl")
+    # Jena :owl would entail both of these; the engine pins the exclusion
+    assert not kb.ask_rdf("ex/bob", "rdf/type", "ex/Father")          # cls-int1
+    assert not kb.ask_rdf("ex/kid", "ex/hasGrandparent", "ex/gran")   # prp-spo2

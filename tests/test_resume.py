@@ -91,3 +91,21 @@ def test_no_snapshot_pipeline_and_resume(spark, tmp_path):
     rows_b2 = sorted(map(tuple, tb2.select("s", "p", "o").collect()))
     assert rows_b2 == rows_b
     assert completed_buckets(out_b) == {0, 1, 2, 3}
+
+
+def test_resume_mode_mismatch_raises(spark, tmp_path):
+    # ADVICE r3 (medium): an out_dir started in one input mode (snapshot vs
+    # --no-snapshot) must refuse to resume in the other — each mode pins
+    # n_buckets in a different place, and crossing them could silently
+    # re-bucket against already-committed extract manifests.
+    transcripts = generate_transcripts(spark, 16)
+
+    out_a = str(tmp_path / "snap_first")
+    run_pipeline(spark, transcripts, out_a, n_buckets=4)
+    with pytest.raises(ValueError, match="snapshot-input mode"):
+        run_pipeline(spark, transcripts, out_a, n_buckets=4, snapshot_input=False)
+
+    out_b = str(tmp_path / "virtual_first")
+    run_pipeline(spark, transcripts, out_b, n_buckets=4, snapshot_input=False)
+    with pytest.raises(ValueError, match="virtual-input mode"):
+        run_pipeline(spark, transcripts, out_b, n_buckets=4)

@@ -251,3 +251,24 @@ def test_remote_kb_add_statements(mock_endpoint, kb):
 
     with _pytest.raises(ValueError, match="variable"):
         rkb.add("?/s", "foaf/name", "Alice")
+
+
+def test_remote_graph_term_validated(mock_endpoint):
+    # ADVICE r3: the GRAPH slot of a remote INSERT DATA takes only a legal
+    # IRI — a non-IRI graph term or an IRI embedding '>' must raise, never
+    # emit a malformed/injectable update
+    from kr_spark.sources.remote import RemoteSparqlKB
+
+    rkb = RemoteSparqlKB(mock_endpoint)
+    rkb.add_statements([("ex/a", "foaf/name", "Alice")], graph="ex/g1")
+    assert "GRAPH <http://www.example.org/g1>" in _MockSparql.last_update
+
+    with pytest.raises(ValueError, match="graph term must be an IRI"):
+        rkb.add_statements([("ex/a", "foaf/name", "A")], graph="_/b1")
+    with pytest.raises(ValueError, match="graph term must be an IRI|not a legal IRI"):
+        rkb.add_statements([("ex/a", "foaf/name", "A")], graph=["evil"])
+    with pytest.raises(ValueError, match="not a legal IRI"):
+        rkb.add_statements(
+            [("ex/a", "foaf/name", "A")],
+            graph="<http://x/> { } ; DROP ALL ; INSERT DATA { <http://y/>",
+        )
