@@ -44,6 +44,8 @@ FILTER_OPS = frozenset(
         ":sameTerm",
         ":langMatches",
         ":regex",
+        ":in",
+        ":not-in",
         # SPARQL 1.1 §17.4 builtins (the reference reaches these through
         # Jena's evaluator; here each maps to one Catalyst expression)
         ":strlen",
@@ -312,6 +314,16 @@ def _apply_op(kb, op: str, args, plan_vars: set) -> _Val:
     if op in ("=", "!="):
         eq = _value_eq(A[0], A[1])
         return _Val(plain=eq if op == "=" else ~eq, is_bool=True)
+    if op in (":in", ":not-in"):
+        # §17.4.1.9-10: IN ≡ chained '=' disjunction, NOT IN its negation;
+        # an empty list is false/true respectively
+        e = None
+        for alt in A[1:]:
+            c = _value_eq(A[0], alt)
+            e = c if e is None else (e | c)
+        if e is None:
+            e = F.lit(False)
+        return _Val(plain=e if op == ":in" else ~e, is_bool=True)
     if op in ("<", ">", "<=", ">="):
         l, r = A[0], A[1]
         both_num = l.is_numeric_pred() & r.is_numeric_pred()

@@ -109,6 +109,10 @@ def _emit_filter_expr(kb, e) -> str:
         return "(" + " && ".join(_emit_filter_expr(kb, a) for a in e[1:]) + ")"
     if op == ":or":
         return "(" + " || ".join(_emit_filter_expr(kb, a) for a in e[1:]) + ")"
+    if op in (":in", ":not-in"):
+        kw = "IN" if op == ":in" else "NOT IN"
+        alts = ", ".join(_emit_filter_expr(kb, a) for a in e[2:])
+        return f"({_emit_filter_expr(kb, e[1])} {kw} ({alts}))"
     if op in _BINARY:
         if len(e) == 3:
             return f"({_emit_filter_expr(kb, e[1])} {op} {_emit_filter_expr(kb, e[2])})"

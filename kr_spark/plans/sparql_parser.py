@@ -449,10 +449,30 @@ class _Parser:
     # number tokens — put spaces around minus.
     def _rel_expr(self):
         left = self._add_expr()
+        low = (self.peek() or "").lower()
+        if low == "in":
+            self.next()
+            return (":in", left, *self._in_list())
+        if low == "not" and self.pos + 1 < len(self.toks) and self.toks[self.pos + 1].lower() == "in":
+            self.next()
+            self.next()
+            return (":not-in", left, *self._in_list())
         if self.peek() in self._CMP:
             op = self.next()
             return (op, left, self._add_expr())
         return left
+
+    def _in_list(self) -> list:
+        """Parenthesized, comma-separated expression list of IN / NOT IN."""
+        self.eat("(")
+        items = []
+        while self.peek() != ")":
+            if self.peek() == ",":
+                self.next()
+                continue
+            items.append(self._or_expr())
+        self.eat(")")
+        return items
 
     def _add_expr(self):
         e = self._mul_expr()

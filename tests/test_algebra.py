@@ -749,3 +749,44 @@ def test_exists_substitution_conditionally_bound_var(kb):
         ]
     )
     assert sorted(_ln(r["s"]) for r in rows) == ["s2"]
+
+
+# ---- IN / NOT IN (§17.4.1.9-10, new in r4) ----
+
+
+def test_in_not_in(kb):
+    load_fixture(kb, TEST_TRIPLES_NUMBERS)
+    rows = kb.sparql_query(
+        PREFIXES + "SELECT ?x WHERE { ?x foaf:age ?a . FILTER(?x IN (ex:a, ex:c)) }"
+    )
+    assert {_ln(r["x"]) for r in rows} == {"a", "c"}
+    rows = kb.sparql_query(
+        PREFIXES + "SELECT ?x WHERE { ?x foaf:age ?a . FILTER(?x NOT IN (ex:a, ex:c)) }"
+    )
+    assert {_ln(r["x"]) for r in rows} == {"b"}
+    # numeric IN compares in value space ("40"^^xsd:integer vs bare 40)
+    rows = kb.sparql_query(
+        PREFIXES + "SELECT ?x WHERE { ?x foaf:age ?a . FILTER(?a IN (40, 99)) }"
+    )
+    assert {_ln(r["x"]) for r in rows} == {"a", "b"}
+    # expression member + empty-ish chaining through ||
+    rows = kb.sparql_query(
+        PREFIXES
+        + "SELECT ?x WHERE { ?x foaf:age ?a . FILTER(?a IN (39 + 1)) }"
+    )
+    assert {_ln(r["x"]) for r in rows} == {"a", "b"}
+    # pattern-API s-expr form + emitter round-trip
+    rows = kb.query(
+        [("?/x", "foaf/age", "?/a"), (":in", "?/a", 50)]
+    )
+    assert {_ln(r["x"]) for r in rows} == {"c"}
+    from kr_spark.plans.sparql_emit import emit_select
+    from kr_spark.plans.sparql_parser import parse_sparql
+
+    q = emit_select(
+        kb, [("?/x", "foaf/age", "?/a"), (":not-in", "?/a", 40, 99)]
+    )
+    assert "NOT IN" in q
+    reparsed = parse_sparql(kb, q)
+    rows = kb.query(reparsed["pattern"])
+    assert {_ln(r["x"]) for r in rows} == {"c"}
