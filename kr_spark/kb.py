@@ -469,7 +469,16 @@ class KB:
             sep = spec[4] if len(spec) > 4 else " "
             if op == "count":
                 if name is None:
-                    e = F.count(F.lit(1))
+                    # COUNT(*) / COUNT(DISTINCT *): the latter counts
+                    # distinct SOLUTIONS (struct over every binding — a
+                    # plain count_distinct(cols) would drop NULL-bearing
+                    # partial solutions)
+                    if distinct:
+                        e = F.count_distinct(
+                            F.struct(*[F.col(v) for v in plan.all_vars])
+                        )
+                    else:
+                        e = F.count(F.lit(1))
                 elif distinct:
                     e = F.count_distinct(F.col(name))
                 else:

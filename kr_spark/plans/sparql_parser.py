@@ -579,6 +579,21 @@ class _Parser:
         pattern = self.group()
         mods = self._modifiers()
 
+        # GROUP BY expression keys become pre-grouping BINDs (§18.2.4: the
+        # key expression extends each solution before partitioning); an
+        # unnamed key gets a hidden alias the SELECT projection drops
+        if any(isinstance(g, tuple) for g in mods["group_by"]):
+            gb: list = []
+            for i, g in enumerate(mods["group_by"]):
+                if isinstance(g, tuple):
+                    _, gexpr, galias = g
+                    galias = galias or f"__grp{i}"
+                    pattern = list(pattern) + [(":bind", gexpr, "?/" + galias)]
+                    gb.append("?/" + galias)
+                else:
+                    gb.append(g)
+            mods["group_by"] = gb
+
         # resolve aggregate calls embedded in expressions (HAVING/ORDER BY/
         # projection): each (':agg', ...) node becomes a reference to an
         # aggregate alias — an existing one when the same call is already in
@@ -752,8 +767,29 @@ class _Parser:
             if self.at_kw("group"):
                 self.next()
                 self.eat("by")
-                while self.peek() and self.peek()[0] in "?$":
-                    out["group_by"].append("?/" + self.next()[1:])
+                while True:
+                    t = self.peek()
+                    if t and t[0] in "?$":
+                        out["group_by"].append("?/" + self.next()[1:])
+                    elif t == "(":
+                        # GROUP BY (expr [AS ?v]) — §18.2.4: the key is an
+                        # expression, optionally named; compiled as a
+                        # pre-grouping BIND in _parse_select
+                        self.next()
+                        expr = self._or_expr()
+                        alias = None
+                        if self.at_kw("as"):
+                            self.next()
+                            alias = self._var_ref("AS")[2:]
+                        self.eat(")")
+                        out["group_by"].append(("__expr__", expr, alias))
+                    elif t and t.lower() in self._FN:
+                        # bare expression key: GROUP BY STR(?x)
+                        out["group_by"].append(
+                            ("__expr__", self._primary(), None)
+                        )
+                    else:
+                        break
             elif self.at_kw("having"):
                 self.next()
                 out["having"] = self.filter_expr()

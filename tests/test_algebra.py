@@ -790,3 +790,46 @@ def test_in_not_in(kb):
     reparsed = parse_sparql(kb, q)
     rows = kb.query(reparsed["pattern"])
     assert {_ln(r["x"]) for r in rows} == {"c"}
+
+
+def test_group_by_expression(kb):
+    # GROUP BY (expr AS ?v): named key is projectable; bare GROUP BY STR(?x)
+    # gets a hidden alias dropped at projection
+    load_fixture(kb, TEST_TRIPLES_NUMBERS)
+    rows = kb.sparql_query(
+        PREFIXES
+        + """SELECT ?band (COUNT(?x) AS ?cnt)
+            WHERE { ?x foaf:age ?a . }
+            GROUP BY (?a > 45 AS ?band) ORDER BY ?band"""
+    )
+    got = {r["band"].v: r["cnt"].v for r in rows}
+    assert got == {"false": "2", "true": "1"}
+    df = kb.sparql_query_df(
+        PREFIXES
+        + """SELECT (COUNT(?x) AS ?cnt)
+            WHERE { ?x foaf:surname ?s . } GROUP BY STR(?s)"""
+    )
+    assert df.columns == ["cnt"]
+    assert [r["cnt"]["v"] for r in df.collect()] == ["3"]
+
+
+def test_count_distinct_star(kb):
+    # COUNT(DISTINCT *) counts distinct SOLUTIONS, not raw rows
+    load_fixture(
+        kb,
+        [
+            ("ex/a", "foaf/nick", ["Al"]),
+            ("ex/b", "foaf/nick", ["Al"]),
+            ("ex/a", "foaf/tag", ["x"]),
+            ("ex/b", "foaf/tag", ["x"]),
+        ],
+    )
+    # ?n alone: projection dedups to 1 value but the group sees solutions
+    rows = kb.sparql_query(
+        PREFIXES + "SELECT (COUNT(DISTINCT *) AS ?c) WHERE { ?s foaf:nick ?n . }"
+    )
+    assert rows[0]["c"].v == "2"  # (a,Al) and (b,Al)
+    n = kb.sparql(
+        PREFIXES + "SELECT (COUNT(*) AS ?c) WHERE { ?s foaf:nick ?n . }"
+    )
+    assert n == 2  # the kr-emitted count form stays an int-returning COUNT
