@@ -178,9 +178,6 @@ def compile_pattern(
     for sq in subqueries:
         plans.append(_compile_subquery(kb, sq))
 
-    if not plans and not optionals and not values_cls and params is None:
-        raise ValueError("empty pattern")
-
     if plans:
         acc = plans[0]
         rest = plans[1:]
@@ -191,6 +188,14 @@ def compile_pattern(
                 0,
             )
             acc = _join(acc, rest.pop(idx), how="inner")
+    elif params is None:
+        # No joinable clause: the group evaluates over the unit solution μ0
+        # (SPARQL §18.5 — eval of the empty BGP is { μ0 }). Covers
+        # `SELECT (expr AS ?v) WHERE {}`, filter/BIND-only groups, and
+        # `{ OPTIONAL { P } }` (LeftJoin(μ0, P): P's rows, or μ0 when P is
+        # empty). One driver-side row, no columns — joins/filters below
+        # operate on it like any plan.
+        acc = CompiledPattern(kb.spark.range(1).drop("id"), [], [])
     else:
         acc = None
 

@@ -92,6 +92,7 @@ FILTER_OPS = frozenset(
         ":minutes",
         ":seconds",
         ":tz",
+        ":timezone",
     }
 )
 
@@ -344,42 +345,83 @@ def _apply_op(kb, op: str, args, plan_vars: set) -> _Val:
         return _Val(plain=c, is_num=True, num_rank=rank)
 
     # ---- SPARQL 1.1 §17.4 string builtins ----
+    # §17.4.3: SUBSTR/UCASE/LCASE/REPLACE/STRBEFORE/STRAFTER derive the
+    # result's language tag / xsd:string datatype from their first argument
+    # (STRAFTER("abc"@en,"a") = "bc"@en), so they return term STRUCTS, not
+    # bare strings; STRBEFORE/STRAFTER yield an empty SIMPLE literal when
+    # the substring does not occur, and two-string-arg builtins error (NULL)
+    # on incompatible language tags (§17.4.3.1.1 argument compatibility)
     if op == ":strlen":
         # fn:string-length returns xs:integer
         return _Val(plain=F.length(A[0].string()), is_num=True, num_rank=F.lit(0))
     if op == ":substr":
         start = A[1].numeric().cast("int")
         length = A[2].numeric().cast("int") if len(A) > 2 else F.lit(1 << 30)
-        return _Val(plain=A[0].string().substr(start, length))
+        return _str_result(A[0].string().substr(start, length), A[0])
     if op == ":ucase":
-        return _Val(plain=F.upper(A[0].string()))
+        return _str_result(F.upper(A[0].string()), A[0])
     if op == ":lcase":
-        return _Val(plain=F.lower(A[0].string()))
+        return _str_result(F.lower(A[0].string()), A[0])
     if op == ":contains":
-        return _Val(plain=F.contains(A[0].string(), A[1].string()), is_bool=True)
+        return _Val(
+            plain=F.when(_lang_compat(A[0], A[1]),
+                         F.contains(A[0].string(), A[1].string())),
+            is_bool=True,
+        )
     if op == ":strstarts":
-        return _Val(plain=F.startswith(A[0].string(), A[1].string()), is_bool=True)
+        return _Val(
+            plain=F.when(_lang_compat(A[0], A[1]),
+                         F.startswith(A[0].string(), A[1].string())),
+            is_bool=True,
+        )
     if op == ":strends":
-        return _Val(plain=F.endswith(A[0].string(), A[1].string()), is_bool=True)
+        return _Val(
+            plain=F.when(_lang_compat(A[0], A[1]),
+                         F.endswith(A[0].string(), A[1].string())),
+            is_bool=True,
+        )
     if op == ":concat":
-        return _Val(plain=F.concat(*[a.string() for a in A]))
+        # §17.4.3.12: lang carries over only when ALL args share it;
+        # xsd:string only when ALL args are xsd:string-typed
+        lang, dt = _src_lang_dt(A[0])
+        for a in A[1:]:
+            l2, d2 = _src_lang_dt(a)
+            lang = F.when(lang == l2, lang).otherwise(F.lit(""))
+            dt = F.when(dt == d2, dt).otherwise(F.lit(""))
+        c = F.concat(*[a.string() for a in A])
+        return _Val(
+            struct=F.when(c.isNotNull(),
+                          _mk_term(F.lit("literal"), c, lang=lang, dt=dt))
+        )
     if op == ":replace":
         pat = _const_str(kb, args[1])
         repl = _const_str(kb, args[2])
         flags = _const_str(kb, args[3]) if len(args) > 3 else ""
         if "i" in flags:
             pat = "(?i)" + pat
-        return _Val(plain=F.regexp_replace(A[0].string(), pat, repl))
+        return _str_result(F.regexp_replace(A[0].string(), pat, repl), A[0])
     if op in (":strbefore", ":strafter"):
         s, sub = A[0].string(), A[1].string()
         pos = F.position(sub, s)  # 1-based; 0 = not found
         if op == ":strbefore":
-            c = F.when(pos > 0, s.substr(F.lit(1), pos - 1)).otherwise(F.lit(""))
+            c = F.when(pos > 0, s.substr(F.lit(1), pos - 1))
         else:
-            c = F.when(
-                pos > 0, s.substr(pos + F.length(sub), F.lit(1 << 30))
-            ).otherwise(F.lit(""))
-        return _Val(plain=c)
+            c = F.when(pos > 0, s.substr(pos + F.length(sub), F.lit(1 << 30)))
+        # match -> lang/type of arg1; no match -> "" simple; lang-incompatible
+        # args or NULL input -> error
+        lang, dt = _src_lang_dt(A[0])
+        found = pos > 0
+        return _Val(
+            struct=F.when(
+                _lang_compat(A[0], A[1]) & s.isNotNull() & sub.isNotNull(),
+                _mk_term(
+                    F.lit("literal"),
+                    F.coalesce(c, F.lit("")),
+                    lang=F.when(found, lang).otherwise(F.lit("")),
+                    dt=F.when(found, dt).otherwise(F.lit("")),
+                ),
+            )
+        )
     if op == ":encode_for_uri":
         # url_encode is form-encoding (space -> '+'); ENCODE_FOR_URI wants
         # percent-encoding (space -> '%20')
@@ -478,6 +520,36 @@ def _apply_op(kb, op: str, args, plan_vars: set) -> _Val:
         return _Val(
             plain=F.regexp_extract(A[0].string(), r"(Z|[+-]\d{2}:\d{2})$", 1)
         )
+    if op == ":timezone":
+        # §17.4.5.7 TIMEZONE: the timezone as an xsd:dayTimeDuration term
+        # ("Z"/"+00:00" -> PT0S, "-05:00" -> -PT5H, "+05:30" -> PT5H30M);
+        # error (NULL term) when the dateTime has no timezone — unlike TZ,
+        # which returns "" in that case
+        z = F.regexp_extract(A[0].string(), r"(Z|[+-]\d{2}:\d{2})$", 1)
+        hh = F.regexp_extract(z, r"^[+-](\d{2}):", 1).cast("int")
+        mm = F.regexp_extract(z, r":(\d{2})$", 1).cast("int")
+        sign = F.when(z.startswith("-"), F.lit("-")).otherwise(F.lit(""))
+        lex = (
+            F.when(z.isNull() | (z == ""), F.lit(None).cast("string"))
+            .when((z == "Z") | ((hh == 0) & (mm == 0)), F.lit("PT0S"))
+            .otherwise(
+                F.concat(
+                    sign,
+                    F.lit("PT"),
+                    F.when(hh > 0, F.concat(hh.cast("string"), F.lit("H"))).otherwise(F.lit("")),
+                    F.when(mm > 0, F.concat(mm.cast("string"), F.lit("M"))).otherwise(F.lit("")),
+                )
+            )
+        )
+        return _Val(
+            struct=F.when(
+                lex.isNotNull(),
+                _mk_term(
+                    F.lit("literal"), lex,
+                    dt=F.lit(_XSD_PRE + "dayTimeDuration"),
+                ),
+            )
+        )
 
     # ---- hash builtins ----
     if op == ":md5":
@@ -488,6 +560,39 @@ def _apply_op(kb, op: str, args, plan_vars: set) -> _Val:
         return _Val(plain=F.sha2(A[0].string().cast("binary"), int(op[4:])))
 
     raise ValueError(f"unknown filter operator {op!r}")
+
+
+def _src_lang_dt(v: _Val) -> tuple[Column, Column]:
+    """(lang, xsd:string-or-'' datatype) a §17.4.3 string function derives
+    from an argument. Plain (composed) operands contribute a simple literal;
+    non-literal terms (IRI/bnode) likewise — the engine is lenient where the
+    spec would raise an argument type error."""
+    if v.struct is None:
+        return F.lit(""), F.lit("")
+    is_lit = v.struct["kind"] == "literal"
+    lang = F.when(is_lit, v.struct["lang"]).otherwise(F.lit(""))
+    dt = F.when(
+        is_lit & (v.struct["dt"] == _XSD + "string"), v.struct["dt"]
+    ).otherwise(F.lit(""))
+    return lang, dt
+
+
+def _lang_compat(a: _Val, b: _Val) -> Column:
+    """§17.4.3.1.1: two string args are compatible when arg2 is simple /
+    xsd:string, or both carry the SAME language tag; else -> error (NULL)."""
+    l1, _ = _src_lang_dt(a)
+    l2, _ = _src_lang_dt(b)
+    return F.when((l2 == "") | (l1 == l2), F.lit(True))
+
+
+def _str_result(c: Column, src: _Val) -> _Val:
+    """Box a string-function result as a literal term carrying the first
+    argument's language tag / xsd:string datatype (§17.4.3 'string literal'
+    derivation); NULL input stays NULL (SPARQL error)."""
+    lang, dt = _src_lang_dt(src)
+    return _Val(
+        struct=F.when(c.isNotNull(), _mk_term(F.lit("literal"), c, lang=lang, dt=dt))
+    )
 
 
 def _mk_term(kind: Column, v: Column, lang: Column | None = None, dt: Column | None = None) -> Column:

@@ -34,7 +34,7 @@ _FN_NAMES = {
     ":sha384": "SHA384", ":sha512": "SHA512",
     ":isNumeric": "isNumeric", ":now": "NOW", ":year": "YEAR", ":month": "MONTH",
     ":day": "DAY", ":hours": "HOURS", ":minutes": "MINUTES",
-    ":seconds": "SECONDS", ":tz": "TZ",
+    ":seconds": "SECONDS", ":tz": "TZ", ":timezone": "TIMEZONE",
 }
 _BINARY = {"=", "!=", "<", ">", "<=", ">=", "*", "/", "+", "-"}
 

@@ -234,8 +234,11 @@ class _Parser:
                 # property list already emitted its triples)
                 if not (was_pl and self.peek() in (".", "}")):
                     self._predicate_object_list(s, clauses)
-                if self.peek() == ".":
-                    self.next()
+            # GraphPatternNotTriples '.'? (SPARQL 1.1 grammar [54]): a dot
+            # is legal (and common) after ANY clause — `{...} UNION {...} .`,
+            # `OPTIONAL {...} .` — not just after a triples block
+            if self.peek() == ".":
+                self.next()
         self.eat("}")
         return clauses
 
@@ -421,7 +424,7 @@ class _Parser:
         "sha384": ":sha384", "sha512": ":sha512",
         "isnumeric": ":isNumeric", "now": ":now", "year": ":year", "month": ":month",
         "day": ":day", "hours": ":hours", "minutes": ":minutes",
-        "seconds": ":seconds", "tz": ":tz",
+        "seconds": ":seconds", "tz": ":tz", "timezone": ":timezone",
     }
 
     def filter_expr(self):
@@ -492,6 +495,12 @@ class _Parser:
         if self.peek() == "!":
             self.next()
             return (":not", self._unary_expr())
+        if self.peek() in ("-", "+"):
+            # UnaryExpression [118]: '+'/'-' PrimaryExpression. Compiled as
+            # 0±e — same XPath promotion (int stays int, decimal stays
+            # decimal) and same error-on-non-numeric as the binary ops
+            op = self.next()
+            return (op, self._term("0"), self._unary_expr())
         if self.peek() == "(":
             self.next()
             e = self._or_expr()

@@ -264,7 +264,8 @@ def test_type_tests_over_composed_args(kb):
     assert r["dt"].kind == "uri" and r["dt"].v == XSD + "integer"
     # simple/lang-tagged literals: xsd:string / rdf:langString
     assert r["gdt"].v.endswith("langString")  # 'Alice' carries default @en
-    assert r["uplang"].v == ""  # builtins mint simple literals
+    # §17.4.3: UCASE derives the language tag from its argument
+    assert r["uplang"].v == "en"
 
     # DATATYPE of a non-literal is an error -> unbound, never a crash
     rows = kb.query(
@@ -358,3 +359,111 @@ def test_now_pinned(kb):
 
     with _pytest.raises(ValueError, match="pinned"):
         kb.query([("?/x", "foaf/age", "?/a"), (":bind", (":now",), "?/t")])
+
+
+def test_string_builtins_derive_lang_and_type(kb):
+    # §17.4.3 'string literal' derivation: SUBSTR/UCASE/LCASE/REPLACE/
+    # STRBEFORE/STRAFTER carry arg1's language tag (or xsd:string type);
+    # STRBEFORE/STRAFTER mint an empty SIMPLE literal when no match
+    load_fixture(kb, [("ex/a", "ex/p", ["abc", "en"])])
+    rows = kb.query(
+        [
+            ("ex/a", "ex/p", "?/v"),
+            (":bind", (":strafter", "?/v", ["a"]), "?/sa"),
+            (":bind", (":strbefore", "?/v", ["c"]), "?/sb"),
+            (":bind", (":ucase", "?/v"), "?/up"),
+            (":bind", (":substr", "?/v", 2), "?/mid"),
+            (":bind", (":replace", "?/v", ["b"], ["x"]), "?/rep"),
+            (":bind", (":strafter", "?/v", ["zz"]), "?/nomatch"),
+            (":bind", (":concat", "?/v", "?/v"), "?/same"),
+            (":bind", (":concat", "?/v", ["!"]), "?/mixed"),
+        ]
+    )
+    b = rows[0]
+    assert (b["sa"].v, b["sa"].lang) == ("bc", "en")
+    assert (b["sb"].v, b["sb"].lang) == ("ab", "en")
+    assert (b["up"].v, b["up"].lang) == ("ABC", "en")
+    assert (b["mid"].v, b["mid"].lang) == ("bc", "en")
+    assert (b["rep"].v, b["rep"].lang) == ("axc", "en")
+    assert (b["nomatch"].v, b["nomatch"].lang) == ("", "")
+    # CONCAT: common lang carries, mixed lang -> simple (§17.4.3.12)
+    assert (b["same"].v, b["same"].lang) == ("abcabc", "en")
+    assert (b["mixed"].v, b["mixed"].lang) == ("abc!", "")
+
+
+def test_string_args_lang_incompatible_is_error(kb):
+    # §17.4.3.1.1: CONTAINS("abc"@en, "b"@fr) is an error -> filter false
+    load_fixture(kb, [("ex/a", "ex/p", ["abc", "en"])])
+    assert not kb.ask(
+        [("ex/a", "ex/p", "?/v"), (":contains", "?/v", ["b", "fr"])]
+    )
+    # same-lang and plain-arg2 forms both match
+    assert kb.ask([("ex/a", "ex/p", "?/v"), (":contains", "?/v", ["b", "en"])])
+    assert kb.ask([("ex/a", "ex/p", "?/v"), (":contains", "?/v", ["b"])])
+
+
+def test_timezone_builtin(kb):
+    # §17.4.5.7 TIMEZONE -> xsd:dayTimeDuration; no-timezone -> error (unbound)
+    load_fixture(
+        kb,
+        [
+            ("ex/e1", "ex/when", ["2011-01-10T14:45:13.815-05:00", "xsd/dateTime"]),
+            ("ex/e2", "ex/when", ["2011-01-10T14:45:13Z", "xsd/dateTime"]),
+            ("ex/e3", "ex/when", ["2011-01-10T14:45:13+05:30", "xsd/dateTime"]),
+            ("ex/e4", "ex/when", ["2011-01-10T14:45:13", "xsd/dateTime"]),
+        ],
+    )
+    rows = kb.sparql_query(
+        PREFIXES
+        + """SELECT ?x ?z WHERE { ?x <http://www.example.org/when> ?t .
+              BIND(TIMEZONE(?t) AS ?z) }"""
+    )
+    got = {b["x"].v.rsplit("/", 1)[-1]: b.get("z") for b in rows}
+    # e4 has no timezone -> TIMEZONE() is an error -> ?z stays unbound
+    assert got["e4"] is None
+    assert got["e1"].v == "-PT5H" and got["e1"].dt == XSD + "dayTimeDuration"
+    assert got["e2"].v == "PT0S"
+    assert got["e3"].v == "PT5H30M"
+
+
+def test_unary_minus_and_plus(kb):
+    # SPARQL grammar [118] UnaryExpression: FILTER(-?a < -26)
+    load_fixture(kb, TEST_TRIPLES_NUMBERS)
+    rows = kb.sparql_query(
+        PREFIXES + "SELECT ?x WHERE { ?x foaf:age ?a FILTER(-?a < - 44) }"
+    )
+    assert len(rows) == 1
+    rows = kb.sparql_query(
+        PREFIXES + "SELECT (- 3 + + 5 AS ?v) WHERE {}"
+    )
+    assert rows[0]["v"].v == "2"
+
+
+def test_empty_group_is_unit_solution(kb):
+    # §18.5: the empty BGP evaluates to { μ0 } — one solution, no bindings
+    rows = kb.sparql_query("SELECT (1 + 2 AS ?v) WHERE {}")
+    assert len(rows) == 1 and rows[0]["v"].v == "3"
+    # OPTIONAL-only group over an empty inner pattern -> μ0 kept, var unbound
+    rows = kb.sparql_query(
+        "SELECT ?z WHERE { OPTIONAL { ?z <http://no.such/p> ?w } }"
+    )
+    assert len(rows) == 1 and "z" not in rows[0]
+
+
+def test_dot_after_group_braces(kb):
+    # SPARQL grammar [54]: '.' after '}' of any GraphPatternNotTriples
+    load_fixture(kb, TEST_TRIPLES_NUMBERS)
+    rows = kb.sparql_query(
+        PREFIXES
+        + """SELECT ?x WHERE {
+              { ?x foaf:age ?a } UNION { ?x foaf:surname ?s } .
+              ?x foaf:firstname ?f . }"""
+    )
+    # 3 ages + 3 surnames, joined to firstname (only ex/b, ex/c have one)
+    assert len(rows) == 4
+    rows = kb.sparql_query(
+        PREFIXES
+        + """SELECT ?x WHERE { ?x foaf:firstname ?f .
+              OPTIONAL { ?x foaf:age ?a } . FILTER(BOUND(?a)) }"""
+    )
+    assert len(rows) == 2
