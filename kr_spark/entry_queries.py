@@ -259,21 +259,28 @@ def q_optional(spark, sf_dir):
 
 
 def q_union(spark, sf_dir):
-    """Q11: UNION with non-aligned variables."""
+    """Q11: UNION with non-aligned variables, PLUS the §18.3 compatibility
+    join: branch 2 leaves ?n unbound, and the later `?x foaf:name ?n`
+    pattern must still join those solutions (unbound is compatible with
+    anything; the merged row takes the bound side), while branch 1's bound
+    ?n joins strictly. A plain equi-join on the NULL column silently drops
+    every branch-2 solution — the wrong-answer class VERDICT r3/r4 probes
+    target (reference: Jena's compatible-mapping join, sparql.clj:235-239
+    hands the union to ARQ verbatim)."""
     kb = make_kb(spark, sf_dir)
     plan = kb.plan(
         [
             (
                 ":union",
-                [("?/x", "rdf/type", "ty/Customer"), ("?/x", "foaf/name", "?/cname")],
-                [("?/x", "rdf/type", "ty/Supplier"), ("?/x", "foaf/name", "?/sname")],
-            )
+                [("?/x", "rdf/type", "ty/Customer"), ("?/x", "foaf/name", "?/n")],
+                [("?/x", "rdf/type", "ty/Supplier")],
+            ),
+            ("?/x", "foaf/name", "?/n"),
         ]
     )
     return plan.df.select(
         F.col("x")["v"].alias("x"),
-        F.col("cname")["v"].alias("cname"),
-        F.col("sname")["v"].alias("sname"),
+        F.col("n")["v"].alias("n"),
     )
 
 
@@ -1337,9 +1344,9 @@ ORACLES = {
         ) rich ON rich.c_nationkey = n_nationkey
     """,
     "q_union": f"""
-        SELECT {_CU} AS x, c_name AS cname, CAST(NULL AS VARCHAR) AS sname FROM customer
+        SELECT {_CU} AS x, c_name AS n FROM customer
         UNION ALL
-        SELECT {_SU} AS x, CAST(NULL AS VARCHAR) AS cname, s_name AS sname FROM supplier
+        SELECT {_SU} AS x, s_name AS n FROM supplier
     """,
     "q_filter_regex": f"""
         SELECT {_CU} AS cust, c_name AS cname FROM customer

@@ -55,6 +55,17 @@ class CompiledPattern:
     # bnodes in patterns are non-capturing variables (sparql.clj:73-77):
     # they join like variables but are excluded from SELECT results.
     visible_vars: list[str] = field(default_factory=list)
+    # vars whose column may be NULL (= unbound in that solution): bound in
+    # only some UNION branches, inside an OPTIONAL, a VALUES UNDEF cell, or
+    # a subquery projection that is not unconditionally bound. SPARQL's
+    # compatibility join (§18.3 'compatible mappings') lets an unbound var
+    # match anything, and the merged solution takes the bound side — a
+    # strict equi-join is only correct for vars NOT in this set. Tracking
+    # the set keeps the common case (definitely-bound vars) on hash-join
+    # equi keys; maybe-null vars contribute a null-tolerant residual
+    # conjunct instead (Catalyst still extracts the equi keys, so the join
+    # stays a hash/sort-merge join whenever at least one strict key exists).
+    maybe_null: set[str] = field(default_factory=set)
 
 
 def _var_struct(kind_col, v_col, lang_col=None, dt_col=None):
@@ -133,34 +144,41 @@ def compile_pattern(
     FILTER apply so those expressions see each outer value (standard
     decorrelation — the same rewrite Catalyst uses for correlated EXISTS
     SQL subqueries it cannot push down)."""
-    triples, optionals, unions, filters, groups = [], [], [], [], []
-    binds, values_cls, minuses, exists_cls, subqueries = [], [], [], [], []
+    # Split the group into ORDERED elements (SPARQL §18.2.2.6 Translate):
+    # OPTIONAL/MINUS/BIND/VALUES are positional — each applies to the group
+    # accumulated SO FAR, so a triple AFTER an OPTIONAL joins the LeftJoin
+    # result instead of being hoisted before it (hoisting changes answers
+    # when the later triple shares a var the OPTIONAL may leave unbound).
+    # Join-type elements (triples / groups / unions / subqueries) commute,
+    # so consecutive RUNS of them ("seg") still reorder freely under the
+    # selectivity heuristic. FILTER and FILTER [NOT] EXISTS are group-scoped
+    # (§18.2.2.2) and apply once at the end, wherever they appear in text.
+    elements: list[list] = []
+    filters, exists_cls = [], []
     for clause in clauses:
         kind, payload = _classify(kb, clause)
-        if kind == "triple":
-            triples.append(payload)
-        elif kind == "subquery":
-            subqueries.append(payload)
-        elif kind == "optional":
-            optionals.append(payload)
-        elif kind == "union":
-            unions.append(payload)
-        elif kind == "filter":
+        if kind == "filter":
             filters.append(payload)
-        elif kind == "bind":
-            binds.append(payload)
-        elif kind == "values":
-            values_cls.append(payload)
-        elif kind == "minus":
-            minuses.append(payload)
         elif kind == "exists":
             exists_cls.append((True, payload))
         elif kind == "not-exists":
             exists_cls.append((False, payload))
-        else:
-            groups.append(payload)
+        elif kind in ("triple", "group", "union", "subquery"):
+            if elements and elements[-1][0] == "seg":
+                elements[-1][1].append((kind, payload))
+            else:
+                elements.append(["seg", [(kind, payload)]])
+        elif kind == "bind":
+            # consecutive BINDs batch into one withColumns (each withColumn
+            # re-analyzes the whole plan — 8 chained BINDs cost ~7 s of
+            # driver time over a many-branch union; batched, one analysis)
+            if elements and elements[-1][0] == "binds":
+                elements[-1][1].append(payload)
+            else:
+                elements.append(["binds", [payload]])
+        else:  # optional / minus / values
+            elements.append([kind, payload])
 
-    plans: list[CompiledPattern] = []
     # Join-order heuristic (SURVEY §4.3.1): most-constant patterns first
     # (smaller intermediates; narrow scans broadcast under AQE), ties broken
     # by predicate frequency when the KB has a computed stats table
@@ -169,63 +187,97 @@ def compile_pattern(
     # boundness, which matters most when a pattern touches rdf:type-scale
     # skew. The reference delegates all of this to ARQ.
     stats = getattr(kb, "_pred_stats", None)
-    for tp in sorted(triples, key=lambda t: _order_key(kb, t, stats)):
-        plans.append(_compile_triple(kb, tp, graph_scope))
-    for g in groups:
-        plans.append(compile_pattern(kb, g, graph_scope, params=_params_for(kb, g, params)))
-    for u in unions:
-        plans.append(_compile_union(kb, u, graph_scope, params=params))
-    for sq in subqueries:
-        plans.append(_compile_subquery(kb, sq))
+    acc: CompiledPattern | None = None
+    # EXISTS substitution params must be columns before any expression that
+    # references them compiles (BIND, lifted OPTIONAL filters, end FILTERs).
+    # Sub-plans that referenced a param already joined their narrowed copy
+    # (_params_for) and equi-join here; a NULL param column (e.g. a UNION
+    # branch that never referenced it) is UNDEF-compatible — that solution
+    # holds for every param value, so it fans out and coalesces, exactly
+    # like a VALUES UNDEF cell.
+    params_pending = params is not None
 
-    if plans:
-        acc = plans[0]
-        rest = plans[1:]
-        # greedy: always join a plan sharing variables next (avoid cartesian)
-        while rest:
-            idx = next(
-                (i for i, p in enumerate(rest) if set(p.all_vars) & set(acc.all_vars)),
-                0,
-            )
-            acc = _join(acc, rest.pop(idx), how="inner")
-    elif params is None:
-        # No joinable clause: the group evaluates over the unit solution μ0
-        # (SPARQL §18.5 — eval of the empty BGP is { μ0 }). Covers
-        # `SELECT (expr AS ?v) WHERE {}`, filter/BIND-only groups, and
-        # `{ OPTIONAL { P } }` (LeftJoin(μ0, P): P's rows, or μ0 when P is
-        # empty). One driver-side row, no columns — joins/filters below
-        # operate on it like any plan.
-        acc = CompiledPattern(kb.spark.range(1).drop("id"), [], [])
-    else:
-        acc = None
+    def _flush_params(a: CompiledPattern | None) -> CompiledPattern | None:
+        nonlocal params_pending
+        if not params_pending:
+            return a
+        params_pending = False
+        return params if a is None else _join_params(a, params)
 
-    # EXISTS substitution params: ensure every param var is a column before
-    # BIND/FILTER compile. Sub-plans above that referenced a param already
-    # joined their narrowed copy and equi-join here; a NULL param column
-    # (e.g. a UNION branch that never referenced it) is UNDEF-compatible —
-    # that solution holds for every param value, so it fans out and
-    # coalesces, exactly like a VALUES UNDEF cell.
-    if params is not None:
-        acc = params if acc is None else _join_params(acc, params)
+    def _unit() -> CompiledPattern:
+        # SPARQL §18.5: eval of the empty BGP is { μ0 } — one solution, no
+        # bindings. The left operand when a group STARTS with OPTIONAL /
+        # MINUS / BIND, and the whole plan for `SELECT (expr AS ?v) WHERE {}`.
+        return CompiledPattern(kb.spark.range(1).drop("id"), [], [])
 
-    for opt in optionals:
-        # (':optional', clause, ...) — payload is a clause list; the kr form
-        # (:optional ((s p o))) arrives as one nested group and recurses.
-        #
-        # SPARQL §8.3.3 LeftJoin(A, B, F): the filter expression F of the
-        # optional group evaluates over the MERGED solution, so a filter
-        # referencing a var bound only OUTSIDE the group must become part of
-        # the left-join condition, not a filter on the standalone sub-plan
-        # (where the var is unbound -> error -> false -> the optional row is
-        # wrongly dropped even when the outer value would satisfy it; Jena
-        # binds it — VERDICT r3 'What's wrong #1'). Filters whose refs are
-        # all bound inside the group are equivalent either way and stay
-        # inside (tighter pushdown into the optional side's scan).
-        opt_clauses = list(opt)
-        keep, lifted = opt_clauses, []
-        if acc is not None:
+    for element in elements:
+        etype, payload = element[0], element[1]
+        if etype == "seg":
+            plans: list[CompiledPattern] = []
+            seg_triples = [p for k, p in payload if k == "triple"]
+            for tp in sorted(seg_triples, key=lambda t: _order_key(kb, t, stats)):
+                plans.append(_compile_triple(kb, tp, graph_scope))
+            for k, p in payload:
+                if k == "group":
+                    plans.append(
+                        compile_pattern(kb, p, graph_scope, params=_params_for(kb, p, params))
+                    )
+                elif k == "union":
+                    plans.append(_compile_union(kb, p, graph_scope, params=params))
+                elif k == "subquery":
+                    plans.append(_compile_subquery(kb, p))
+            rest = plans
+            if acc is None:
+                acc, rest = plans[0], plans[1:]
+            # greedy: always join a plan sharing variables next (avoid
+            # cartesian); prefer one sharing a definitely-bound var on both
+            # sides — that join runs on hash-join equi keys, while a
+            # maybe-null-only share needs a null-tolerant residual condition
+            while rest:
+                idx = next(
+                    (
+                        i
+                        for i, p in enumerate(rest)
+                        if any(
+                            v in set(acc.all_vars)
+                            and v not in acc.maybe_null
+                            and v not in p.maybe_null
+                            for v in p.all_vars
+                        )
+                    ),
+                    None,
+                )
+                if idx is None:
+                    idx = next(
+                        (i for i, p in enumerate(rest) if set(p.all_vars) & set(acc.all_vars)),
+                        0,
+                    )
+                acc = _join(acc, rest.pop(idx), how="inner")
+            continue
+
+        # positional non-join op: param columns must exist before its
+        # expressions compile / before LeftJoin-position semantics apply
+        acc = _flush_params(acc)
+
+        if etype == "optional":
+            # (':optional', clause, ...) — payload is a clause list; the kr
+            # form (:optional ((s p o))) arrives as one nested group.
+            #
+            # SPARQL §8.3.3 LeftJoin(A, B, F): the filter expression F of
+            # the optional group evaluates over the MERGED solution, so a
+            # filter referencing a var bound only OUTSIDE the group must
+            # become part of the left-join condition, not a filter on the
+            # standalone sub-plan (where the var is unbound -> error ->
+            # false -> the optional row is wrongly dropped even when the
+            # outer value would satisfy it; Jena binds it — VERDICT r3
+            # 'What's wrong #1'). Filters whose refs are all bound inside
+            # the group are equivalent either way and stay inside (tighter
+            # pushdown into the optional side's scan).
+            opt_clauses = list(payload)
+            if acc is None:
+                acc = _unit()
             inner_bound, _ = _pattern_var_usage(kb, opt_clauses)
-            keep = []
+            keep, lifted = [], []
             for cl in opt_clauses:
                 ckind, _payload = _classify(kb, cl)
                 if ckind == "filter":
@@ -238,10 +290,7 @@ def compile_pattern(
             if not any(True for cl in keep
                        if _classify(kb, cl)[0] != "filter"):
                 keep, lifted = opt_clauses, []  # filter-only group: unchanged path
-        sub = compile_pattern(kb, keep, graph_scope, params=_params_for(kb, keep, params))
-        if acc is None:
-            acc = sub
-        else:
+            sub = compile_pattern(kb, keep, graph_scope, params=_params_for(kb, keep, params))
             extra = None
             if lifted:
                 avail = set(acc.all_vars) | set(sub.all_vars)
@@ -252,46 +301,52 @@ def compile_pattern(
                     extra = c if extra is None else (extra & c)
             acc = _join(acc, sub, how="left", extra_cond=extra)
 
-    # VALUES (SPARQL 1.1 §10.2): inline data joined with UNDEF-compatible
-    # semantics. Always tiny driver-side data -> broadcast hash join.
-    for vals in values_cls:
-        vp = _compile_values(kb, *vals)
-        acc = vp if acc is None else _join_values(acc, vp)
+        elif etype == "values":
+            # VALUES (SPARQL 1.1 §10.2): inline data joined with
+            # UNDEF-compatible semantics. Tiny driver-side data -> broadcast.
+            vp = _compile_values(kb, *payload)
+            acc = vp if acc is None else _join_values(acc, vp)
 
+        elif etype == "binds":
+            # BIND (SPARQL 1.1 §10.1): extend each solution with a computed
+            # term; sees only vars bound BEFORE it in the group (positional).
+            if acc is None:
+                acc = _unit()
+            binds = payload
+            i = 0
+            while i < len(binds):
+                batch: dict[str, Column] = {}
+                while i < len(binds):
+                    expr, var = binds[i]
+                    vt = kb.term(var)
+                    if vt.v in acc.all_vars or vt.v in batch:
+                        raise ValueError(f"BIND would rebind in-scope var ?{vt.v}")
+                    if _expr_refs_any(expr, set(batch)):
+                        break  # reads a var bound in this batch -> next batch
+                    batch[vt.v] = compile_value_expr(kb, expr, set(acc.all_vars))
+                    i += 1
+                new = list(batch)
+                # BIND vars are maybe-null: an erroring expression leaves the
+                # var unbound (§10.1), and exprs over maybe-null inputs
+                # propagate NULL
+                acc = CompiledPattern(
+                    acc.df.withColumns(batch),
+                    acc.all_vars + new,
+                    acc.visible_vars + new,
+                    acc.maybe_null | set(new),
+                )
+
+        elif etype == "minus":
+            # MINUS (SPARQL 1.1 §8.3): anti-join on compatible bindings; a
+            # var-disjoint MINUS removes nothing (dom-overlap condition).
+            if acc is None:
+                acc = _unit()
+            sub = compile_pattern(kb, list(payload), graph_scope)
+            acc = _apply_minus(acc, sub)
+
+    acc = _flush_params(acc)
     if acc is None:
-        raise ValueError("pattern had no joinable clauses")
-
-    # BIND (SPARQL 1.1 §10.1): extend each solution with a computed term.
-    # Applied after the group's pattern joins (subset: the bound var cannot
-    # feed a triple pattern of the SAME group; use a nested group for that).
-    # Consecutive BINDs that don't read earlier BINDs of the same run are
-    # applied in ONE withColumns call: each withColumn re-analyzes the whole
-    # logical plan (expensive over a many-branch derived union — 8 chained
-    # BINDs cost ~7 s of driver time; batched, one analysis).
-    i = 0
-    while i < len(binds):
-        batch: dict[str, Column] = {}
-        while i < len(binds):
-            expr, var = binds[i]
-            vt = kb.term(var)
-            if vt.v in acc.all_vars or vt.v in batch:
-                raise ValueError(f"BIND would rebind in-scope var ?{vt.v}")
-            if _expr_refs_any(expr, set(batch)):
-                break  # reads a var bound in this batch -> next batch
-            batch[vt.v] = compile_value_expr(kb, expr, set(acc.all_vars))
-            i += 1
-        new = list(batch)
-        acc = CompiledPattern(
-            acc.df.withColumns(batch),
-            acc.all_vars + new,
-            acc.visible_vars + new,
-        )
-
-    # MINUS (SPARQL 1.1 §8.3): anti-join on compatible bindings; a
-    # var-disjoint MINUS removes nothing (dom-overlap condition).
-    for m in minuses:
-        sub = compile_pattern(kb, list(m), graph_scope)
-        acc = _apply_minus(acc, sub)
+        acc = _unit()
 
     # FILTER [NOT] EXISTS (SPARQL 1.1 §8.1): semi/anti join on the shared
     # variables (unbound-left-var = compatible, per substitution semantics).
@@ -577,9 +632,18 @@ def _join(
     """extra_cond: additional join condition (LeftJoin filter expression per
     SPARQL §8.3.3 — filters of an OPTIONAL group that reference outer vars).
     Column refs in it resolve by name: shared vars read a's copy (equal on
-    matched rows anyway), b-only vars read b's column."""
+    matched rows anyway), b-only vars read b's column.
+
+    Shared vars that are maybe-null on either side join with SPARQL
+    compatibility semantics (§18.3): unbound is compatible with anything,
+    and the merged solution takes whichever side bound the var. Those vars
+    become null-tolerant residual conjuncts; definitely-bound shared vars
+    stay plain equi conjuncts, which Catalyst extracts as hash-join keys —
+    so the common all-strict case compiles to exactly the same plan as
+    before, and a mixed case still hash-joins on the strict keys."""
     shared = [v for v in a.all_vars if v in set(b.all_vars)]
     b_only = [v for v in b.all_vars if v not in set(a.all_vars)]
+    compat = {v for v in shared if v in a.maybe_null or v in b.maybe_null}
     if not shared:
         if how == "left":
             # SPARQL LeftJoin-on-true semantics (sparql.clj:241-244): a
@@ -598,13 +662,35 @@ def _join(
         cond = None
         for v, tmp in renames.items():
             c = F.col(v) == F.col(tmp)
+            if v in compat:
+                if v in a.maybe_null:
+                    c = c | F.col(v).isNull()
+                if v in b.maybe_null:
+                    c = c | F.col(tmp).isNull()
             cond = c if cond is None else (cond & c)
         if extra_cond is not None:
             cond = cond & extra_cond
-        df = a.df.join(bdf, cond, how).drop(*renames.values())
+        df = a.df.join(bdf, cond, how)
+        for v in shared:
+            if v in compat:
+                # merged solution: the bound side's value (both-null stays
+                # null = still unbound; unmatched left rows keep a's value)
+                df = df.withColumn(v, F.coalesce(F.col(v), F.col(renames[v])))
+        df = df.drop(*renames.values())
     all_vars = a.all_vars + b_only
     visible = a.visible_vars + [v for v in b.visible_vars if v in b_only]
-    return CompiledPattern(df, all_vars, visible)
+    mn: set = set()
+    for v in a.all_vars:
+        if v not in a.maybe_null:
+            continue
+        if v in compat and how != "left" and v not in b.maybe_null:
+            continue  # inner-join coalesce with a never-null side -> bound
+        mn.add(v)
+    if how == "left":
+        mn |= set(b_only)  # unmatched left rows leave every b var unbound
+    else:
+        mn |= set(b_only) & b.maybe_null
+    return CompiledPattern(df, all_vars, visible, mn)
 
 
 _TERM_STRUCT_DDL = "struct<kind:string,v:string,lang:string,dt:string>"
@@ -632,7 +718,7 @@ def _compile_subquery(kb, q: dict) -> CompiledPattern:
             offset=q.get("offset"),
         )
         names = list(df.columns)
-        return CompiledPattern(df, names, names)
+        return CompiledPattern(df, names, names, _subquery_maybe_null(kb, q, names))
     if q["type"] != "aggregate":
         raise ValueError(f"unsupported subquery form {q['type']!r}")
 
@@ -651,7 +737,31 @@ def _compile_subquery(kb, q: dict) -> CompiledPattern:
         proj_exprs=q.get("proj_exprs") or None,
     )
     names = list(df.columns)
-    return CompiledPattern(df, names, names)
+    return CompiledPattern(df, names, names, _subquery_maybe_null(kb, q, names))
+
+
+def _subquery_maybe_null(kb, q: dict, names: list[str]) -> set:
+    """Which subquery output columns can be NULL (= unbound)? A var is
+    definitely bound iff it is unconditionally bound by the subquery's own
+    pattern; an aggregate alias iff it is COUNT (never null over a group)
+    or aggregates an unconditionally-bound operand. Everything else —
+    OPTIONAL-only vars, single-UNION-branch vars, (expr AS ?v) projections
+    (an erroring expression leaves ?v unbound, §18.2.4.4) — is maybe-null.
+    Over-marking is semantically safe (the null arm just never fires);
+    under-marking would silently restore the strict-equi wrong answer."""
+    bound, _ = _pattern_var_usage(kb, list(q["pattern"]), include_conditional=False)
+    nonnull = set(bound)
+    for spec in q.get("aggs") or []:
+        op, operand, alias = spec[0], spec[1], spec[2]
+        if op == "count":
+            nonnull.add(alias)
+        elif isinstance(operand, str) and operand.startswith("?/"):
+            if operand[2:] in bound:
+                nonnull.add(alias)
+        elif isinstance(operand, Term) and operand.kind == KIND_VAR:
+            if operand.v in bound:
+                nonnull.add(alias)
+    return {n for n in names if n not in nonnull}
 
 
 def _compile_values(kb, vars_, rows) -> CompiledPattern:
@@ -672,7 +782,8 @@ def _compile_values(kb, vars_, rows) -> CompiledPattern:
         data.append(tuple(out))
     schema = ", ".join(f"{n} {_TERM_STRUCT_DDL}" for n in names)
     df = kb.spark.createDataFrame(data, schema)
-    return CompiledPattern(df, list(names), list(names))
+    mn = {names[i] for row in rows for i, cell in enumerate(row) if cell is None}
+    return CompiledPattern(df, list(names), list(names), mn)
 
 
 def _join_values(acc: CompiledPattern, vp: CompiledPattern) -> CompiledPattern:
@@ -689,6 +800,9 @@ def _join_values(acc: CompiledPattern, vp: CompiledPattern) -> CompiledPattern:
     cond = None
     for v, tmp in renames.items():
         c = F.col(tmp).isNull() | (F.col(v) == F.col(tmp))
+        if v in acc.maybe_null:
+            # plan side unbound (OPTIONAL/UNION) -> compatible with any cell
+            c = c | F.col(v).isNull()
         cond = c if cond is None else (cond & c)
     df = acc.df.join(F.broadcast(vdf), cond, "inner")
     # a shared var bound only on the VALUES side (left was NULL via OPTIONAL)
@@ -697,7 +811,10 @@ def _join_values(acc: CompiledPattern, vp: CompiledPattern) -> CompiledPattern:
     df = df.drop(*renames.values())
     all_vars = acc.all_vars + v_only
     visible = acc.visible_vars + [v for v in vp.visible_vars if v in v_only]
-    return CompiledPattern(df, all_vars, visible)
+    mn = {v for v in shared if v in acc.maybe_null and v in vp.maybe_null}
+    mn |= acc.maybe_null - set(shared)
+    mn |= vp.maybe_null & set(v_only)
+    return CompiledPattern(df, all_vars, visible, mn)
 
 
 def _join_params(acc: CompiledPattern, params: CompiledPattern) -> CompiledPattern:
@@ -711,7 +828,10 @@ def _join_params(acc: CompiledPattern, params: CompiledPattern) -> CompiledPatte
     if not shared:
         df = acc.df.crossJoin(params.df)
         return CompiledPattern(
-            df, acc.all_vars + p_only, acc.visible_vars + list(p_only)
+            df,
+            acc.all_vars + p_only,
+            acc.visible_vars + list(p_only),
+            set(acc.maybe_null),
         )
     renames = {v: _fresh("par") for v in shared}
     pdf = params.df
@@ -725,7 +845,12 @@ def _join_params(acc: CompiledPattern, params: CompiledPattern) -> CompiledPatte
     for v, tmp in renames.items():
         df = df.withColumn(v, F.coalesce(F.col(v), F.col(tmp)))
     df = df.drop(*renames.values())
-    return CompiledPattern(df, acc.all_vars + p_only, acc.visible_vars + list(p_only))
+    # params are distinct non-null outer bindings, so coalesced shared vars
+    # come out bound even where the sub-plan left them null
+    mn = acc.maybe_null - set(shared)
+    return CompiledPattern(
+        df, acc.all_vars + p_only, acc.visible_vars + list(p_only), mn
+    )
 
 
 def _compat_join(acc: CompiledPattern, sub: CompiledPattern, shared: list[str]):
@@ -753,7 +878,7 @@ def _apply_minus(acc: CompiledPattern, sub: CompiledPattern) -> CompiledPattern:
         c = F.col(v).isNotNull() & F.col(tmp).isNotNull()
         overlap = c if overlap is None else (overlap | c)
     df = acc.df.join(sdf, compat & overlap, "left_anti")
-    return CompiledPattern(df, acc.all_vars, acc.visible_vars)
+    return CompiledPattern(df, acc.all_vars, acc.visible_vars, set(acc.maybe_null))
 
 
 def _apply_exists(
@@ -792,7 +917,7 @@ def _apply_exists(
                 )
             cond = c if cond is None else (cond & c)
         df = acc.df.join(sdf, cond, how)
-    return CompiledPattern(df, acc.all_vars, acc.visible_vars)
+    return CompiledPattern(df, acc.all_vars, acc.visible_vars, set(acc.maybe_null))
 
 
 def _compile_union(
@@ -822,7 +947,14 @@ def _compile_union(
     out = dfs[0]
     for df in dfs[1:]:
         out = out.unionByName(df)
-    return CompiledPattern(out, all_vars, visible)
+    # a var missing from any branch (NULL-padded there) — or maybe-null
+    # within a branch — is unbound in some solutions (§18.3 compatibility)
+    mn = {
+        v
+        for v in all_vars
+        if any(v not in p.all_vars or v in p.maybe_null for p in plans)
+    }
+    return CompiledPattern(out, all_vars, visible, mn)
 
 
 # ---- CONSTRUCT (Q7, sparql.clj:447-466) ----
