@@ -180,6 +180,26 @@ def test_triple_after_minus_joins_after_subtraction(kb):
     assert _pairs(rows, "x", "w") == [(E + "b", E + "w2")]
 
 
+def test_bind_var_usable_by_later_triple(kb):
+    # positional translation makes Join(Extend(μ0, ?x, ex:a), BGP) legal:
+    # the later triple JOINS on ?x (the pre-fold compile hoisted the triple
+    # first and then rejected the BIND as a rebind)
+    load_fixture(kb, [("ex/a", "foaf/name", "Ann"), ("ex/b", "foaf/name", "Bea")])
+    rows = kb.sparql_query(
+        PREFIXES + "SELECT ?n WHERE { BIND(ex:a AS ?x) ?x foaf:name ?n }"
+    )
+    assert _pairs(rows, "n") == [("Ann",)]
+
+
+def test_values_before_triples(kb):
+    load_fixture(kb, [("ex/a", "foaf/name", "Ann"), ("ex/b", "foaf/name", "Bea"),
+                      ("ex/c", "foaf/name", "Cy")])
+    rows = kb.sparql_query(
+        PREFIXES + "SELECT ?n WHERE { VALUES ?x { ex:a ex:b } ?x foaf:name ?n }"
+    )
+    assert _pairs(rows, "n") == [("Ann",), ("Bea",)]
+
+
 def test_strict_keys_stay_hash_join(kb):
     # scale guard: a maybe-null shared var must ride as a residual condition
     # on the strict-key hash join, not demote it to a nested-loop join
