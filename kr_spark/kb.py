@@ -152,6 +152,10 @@ class KB:
         # NOW()'s value — a run-supplied xsd:dateTime lexical form; None
         # makes NOW() raise (wall-clock would break deterministic resume)
         self.pinned_now = pinned_now
+        # opt-in for RAND()/UUID()/STRUUID() (SPARQL §17.4.1.4/5.5/5.6):
+        # per-row nondeterminism breaks kill+resume bit-identity, so these
+        # raise unless the caller explicitly accepts that trade
+        self.allow_nondeterministic = False
         # *force-add-named-to-default* mirror (jena/rdf.clj:29): when True,
         # every named-graph add also lands a copy in the default graph
         self.force_add_named_to_default = False

@@ -78,12 +78,17 @@ FILTER_OPS = frozenset(
         ":sha512",
         ":isNumeric",
         # xsd:dateTime accessors (SPARQL 1.1 §17.4.5) — lexical-form field
-        # extraction, so no session-timezone coupling. RAND/UUID/STRUUID are
-        # deliberately unsupported: per-row nondeterminism breaks
-        # deterministic resume (same stance as no-arg BNODE). NOW() IS
+        # extraction, so no session-timezone coupling. RAND/UUID/STRUUID
+        # (§17.4.1.4/5.5/5.6) are per-row nondeterministic and therefore
+        # OPT-IN: they raise unless kb.allow_nondeterministic is set,
+        # because nondeterminism breaks the engine's kill+resume
+        # bit-identity guarantee (same stance as no-arg BNODE). NOW() IS
         # supported, pinned to a run-supplied timestamp (kb.pinned_now) —
         # constant within a query per spec §17.4.5.1, and a pinned value
         # keeps kill+resume bit-identical (VERDICT r2 next-round #7).
+        ":rand",
+        ":uuid",
+        ":struuid",
         ":now",
         ":year",
         ":month",
@@ -481,6 +486,25 @@ def _apply_op(kb, op: str, args, plan_vars: set) -> _Val:
 
     if op == ":isNumeric":
         return _Val(plain=A[0].is_numeric_pred(), is_bool=True)
+
+    if op in (":rand", ":uuid", ":struuid"):
+        # §17.4.1.4 RAND -> xsd:double in [0,1); §17.4.5.5 UUID -> a fresh
+        # urn:uuid: IRI; §17.4.5.6 STRUUID -> the bare simple literal.
+        # Per-row nondeterministic, so opt-in — fresh values break the
+        # engine's kill+resume bit-identity (same stance as no-arg BNODE;
+        # Jena mints them freely for the reference's raw strings).
+        if not getattr(kb, "allow_nondeterministic", False):
+            raise ValueError(
+                f"{op[1:].upper()}() is nondeterministic; set "
+                "kb.allow_nondeterministic = True to enable it (results "
+                "then differ across runs and resumes)"
+            )
+        if op == ":rand":
+            return _Val(plain=F.rand(), is_num=True, num_rank=F.lit(3))
+        u = F.expr("uuid()")
+        if op == ":struuid":
+            return _Val(struct=_mk_term(F.lit("literal"), u))
+        return _Val(struct=_mk_term(F.lit("uri"), F.concat(F.lit("urn:uuid:"), u)))
 
     if op == ":now":
         # pinned run timestamp: constant within the query (spec behavior)

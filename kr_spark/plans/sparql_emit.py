@@ -35,6 +35,7 @@ _FN_NAMES = {
     ":isNumeric": "isNumeric", ":now": "NOW", ":year": "YEAR", ":month": "MONTH",
     ":day": "DAY", ":hours": "HOURS", ":minutes": "MINUTES",
     ":seconds": "SECONDS", ":tz": "TZ", ":timezone": "TIMEZONE",
+    ":rand": "RAND", ":uuid": "UUID", ":struuid": "STRUUID",
 }
 _BINARY = {"=", "!=", "<", ">", "<=", ">=", "*", "/", "+", "-"}
 

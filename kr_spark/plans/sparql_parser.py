@@ -425,6 +425,7 @@ class _Parser:
         "isnumeric": ":isNumeric", "now": ":now", "year": ":year", "month": ":month",
         "day": ":day", "hours": ":hours", "minutes": ":minutes",
         "seconds": ":seconds", "tz": ":tz", "timezone": ":timezone",
+        "rand": ":rand", "uuid": ":uuid", "struuid": ":struuid",
     }
 
     def filter_expr(self):

@@ -426,6 +426,30 @@ def test_timezone_builtin(kb):
     assert got["e3"].v == "PT5H30M"
 
 
+def test_rand_uuid_struuid_opt_in(kb):
+    # §17.4.1.4 / §17.4.5.5-6: nondeterministic builtins are opt-in —
+    # default raises (kill+resume bit-identity), enabled they mint a
+    # double in [0,1), a urn:uuid: IRI, and a bare simple literal
+    load_fixture(kb, [("ex/a", "foaf/name", "Ann"), ("ex/b", "foaf/name", "Bea")])
+    q = PREFIXES + """SELECT ?x ?r ?u ?s WHERE { ?x foaf:name ?n
+          BIND(RAND() AS ?r) BIND(UUID() AS ?u) BIND(STRUUID() AS ?s) }"""
+    with pytest.raises(ValueError, match="nondeterministic"):
+        kb.sparql_query(q)
+    kb.allow_nondeterministic = True
+    rows = kb.sparql_query(q)
+    assert len(rows) == 2
+    import re
+    hexp = r"[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"
+    for b in rows:
+        assert 0.0 <= float(b["r"].v) < 1.0
+        assert b["r"].dt == XSD + "double"
+        assert b["u"].kind == "uri" and re.fullmatch("urn:uuid:" + hexp, b["u"].v)
+        assert b["s"].kind == "literal" and re.fullmatch(hexp, b["s"].v)
+        assert (b["s"].lang, b["s"].dt) == ("", "")
+    # fresh per row
+    assert rows[0]["u"].v != rows[1]["u"].v
+
+
 def test_unary_minus_and_plus(kb):
     # SPARQL grammar [118] UnaryExpression: FILTER(-?a < -26)
     load_fixture(kb, TEST_TRIPLES_NUMBERS)
