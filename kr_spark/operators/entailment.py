@@ -44,10 +44,10 @@ divergence test (tests/test_forward_rule.py::test_owl_delta_exclusions_*):
 | Functional/InverseFunctional -> sameAs   | yes  | prp-fp (non-literals incl. bnodes) / prp-ifp |
 | hasValue / someValuesFrom / allValuesFrom| yes  | cls-hv1/hv2, cls-svf1, cls-avf |
 | domain/range schema closure              | yes (r4) | scm-dom1/dom2, scm-rng1/rng2 |
-| intersectionOf / unionOf class exprs     | NO   | RDF-list heads; a list-walking join per level — excluded until a fixture needs it (pinned) |
-| oneOf enumerations (cls-oo)              | NO   | RDF lists, same reason (pinned) |
+| intersectionOf / unionOf class exprs     | yes (r4) | cls-int1/int2, cls-uni — `derive` rules over the rdf:rest membership closure (OWL_LIST_RULES); cls-int1's all-members check is a countDistinct groupBy |
+| oneOf enumerations (cls-oo)              | yes (r4) | membership join; literal members (data ranges) excluded from type minting |
 | cardinality restrictions (cls-maxc*)     | NO   | max-cardinality entailments need per-(x,p) group counts mid-fixpoint; excluded (pinned) |
-| propertyChainAxiom (prp-spo2)            | NO   | RDF-list chain of joins (pinned) |
+| propertyChainAxiom (prp-spo2)            | yes (r4) | T-box chain lists reconstructed driver-side (10k cap), n-1 equi-joins per chain |
 | differentFrom/disjointWith (cax-dw, eq-diff1) | NO | these signal INCONSISTENCY, not new triples — a materializer has no error channel; excluded by design |
 | axiomatic/vocabulary triples (owl:Thing, rdfs:Resource memberships) | NO | Jena floods every node with them; at 10^12-turn scale that is O(N) pure noise — excluded by design |
 """
@@ -269,12 +269,252 @@ OWL_RL_RULES: list[dict] = [
 ]
 
 
+# ---- RDF-list-based rules (round 4): variable-arity class expressions and
+# property chains cannot be fixed-arity horn bodies, so they are `derive`
+# rules — callables the fixpoint treats like any other rule (rules.py).
+# All of them read T-box-sized data (rdf:first/rdf:rest structures exist
+# only in ontology schema, never in instance data), so the list walk is a
+# handful of joins over a predicate-pruned scan; the instance-side joins
+# are ordinary equi-joins that shuffle on the class/property key.
+
+def _triple_rows(df, s_kind, s, p, o_kind, o, rule):
+    """Project join results to the triple schema (IRI/bnode objects only —
+    every list rule derives type/property links between nodes)."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        s_kind.alias("s_kind"),
+        s.alias("s"),
+        p.alias("p"),
+        o_kind.alias("o_kind"),
+        o.alias("o"),
+        F.lit(None).cast("string").alias("o_lang"),
+        F.lit(None).cast("string").alias("o_datatype"),
+        F.lit(None).cast("decimal(38,9)").alias("num_val"),
+        F.lit(None).cast("string").alias("graph"),
+        F.lit(None).cast("string").alias("conv_id"),
+        F.lit(None).cast("int").alias("turn_idx"),
+        F.lit(rule).alias("rule_id"),
+    )
+
+
+def _list_members(kb):
+    """member(lst, elem): elem appears (at any position) in the RDF list
+    headed at lst — and at every suffix node, which the class-expression
+    rules never reference, so the extra rows are inert. Semi-naive walk
+    over rdf:rest edges: depth = longest list; raises on >64 (or a cycle).
+    Returns None when the KB has no lists (fast predicate-pruned check)."""
+    from pyspark.sql import functions as F
+
+    df = kb.df()
+    first = df.filter(F.col("p") == f"{RDF}first").select(
+        F.col("s").alias("lst"),
+        F.col("o_kind").alias("e_kind"),
+        F.col("o").alias("e"),
+    )
+    if first.isEmpty():
+        return None
+    rest = df.filter(F.col("p") == f"{RDF}rest").select(
+        F.col("s").alias("l2"), F.col("o").alias("nxt")
+    )
+    member = first
+    frontier = first
+    for _ in range(64):
+        step = (
+            rest.join(frontier, rest["nxt"] == frontier["lst"], "inner")
+            .select(F.col("l2").alias("lst"), "e_kind", "e")
+        )
+        if step.isEmpty():
+            return member.distinct()
+        member = member.unionByName(step)
+        frontier = step
+    raise RuntimeError("RDF list longer than 64 elements (or cyclic rdf:rest)")
+
+
+def _schema_pairs(kb, pred: str, a: str = "cls", b: str = "lst0"):
+    from pyspark.sql import functions as F
+
+    return kb.df().filter(F.col("p") == pred).select(
+        F.col("s_kind").alias(f"{a}_kind"), F.col("s").alias(a), F.col("o").alias(b)
+    )
+
+
+def _type_facts(kb):
+    from pyspark.sql import functions as F
+
+    return kb.df().filter(F.col("p") == f"{RDF}type").select(
+        F.col("s_kind").alias("x_kind"), F.col("s").alias("x"), F.col("o").alias("xc")
+    )
+
+
+def _derive_cls_oo(kb):
+    """cls-oo: c owl:oneOf (e1 .. en) => ei rdf:type c (literal members are
+    data-range enumerations — no type triples for those)."""
+    from pyspark.sql import functions as F
+
+    m = _list_members(kb)
+    if m is None:
+        return None
+    oneof = _schema_pairs(kb, f"{OWL}oneOf")
+    if oneof.isEmpty():
+        return None
+    j = oneof.join(m, m["lst"] == oneof["lst0"], "inner").filter(
+        F.col("e_kind") != "literal"
+    )
+    return _triple_rows(
+        j, F.col("e_kind"), F.col("e"), F.lit(f"{RDF}type"),
+        F.col("cls_kind"), F.col("cls"), "cls-oo",
+    )
+
+
+def _derive_cls_uni(kb):
+    """cls-uni: c owl:unionOf (c1 .. cn), x type ci => x type c."""
+    from pyspark.sql import functions as F
+
+    m = _list_members(kb)
+    if m is None:
+        return None
+    uni = _schema_pairs(kb, f"{OWL}unionOf")
+    if uni.isEmpty():
+        return None
+    classes = uni.join(m, m["lst"] == uni["lst0"], "inner").select(
+        "cls_kind", "cls", F.col("e").alias("ci")
+    )
+    j = _type_facts(kb).join(classes, F.col("xc") == F.col("ci"), "inner")
+    return _triple_rows(
+        j, F.col("x_kind"), F.col("x"), F.lit(f"{RDF}type"),
+        F.col("cls_kind"), F.col("cls"), "cls-uni",
+    )
+
+
+def _derive_cls_int2(kb):
+    """cls-int2: c owl:intersectionOf (c1 .. cn), x type c => x type ci."""
+    from pyspark.sql import functions as F
+
+    m = _list_members(kb)
+    if m is None:
+        return None
+    inter = _schema_pairs(kb, f"{OWL}intersectionOf")
+    if inter.isEmpty():
+        return None
+    classes = inter.join(m, m["lst"] == inter["lst0"], "inner").select(
+        "cls", F.col("e_kind").alias("ci_kind"), F.col("e").alias("ci")
+    )
+    j = _type_facts(kb).join(classes, F.col("xc") == F.col("cls"), "inner")
+    return _triple_rows(
+        j, F.col("x_kind"), F.col("x"), F.lit(f"{RDF}type"),
+        F.col("ci_kind"), F.col("ci"), "cls-int2",
+    )
+
+
+def _derive_cls_int1(kb):
+    """cls-int1: c owl:intersectionOf (c1 .. cn), x type EVERY ci => x type
+    c. Not horn (a universally-quantified body): matched-distinct-class
+    count per (x, c) must equal the list's distinct length — one groupBy on
+    (x, c) after the membership join, partial-agg friendly."""
+    from pyspark.sql import functions as F
+
+    m = _list_members(kb)
+    if m is None:
+        return None
+    inter = _schema_pairs(kb, f"{OWL}intersectionOf")
+    if inter.isEmpty():
+        return None
+    classes = inter.join(m, m["lst"] == inter["lst0"], "inner").select(
+        "cls_kind", "cls", F.col("lst0").alias("lref"), F.col("e").alias("ci")
+    )
+    sizes = classes.groupBy("lref").agg(F.countDistinct("ci").alias("need"))
+    matched = _type_facts(kb).join(classes, F.col("xc") == F.col("ci"), "inner")
+    got = matched.groupBy("x_kind", "x", "cls_kind", "cls", "lref").agg(
+        F.countDistinct("ci").alias("got")
+    )
+    j = got.join(sizes, on="lref", how="inner").filter(F.col("got") == F.col("need"))
+    return _triple_rows(
+        j, F.col("x_kind"), F.col("x"), F.lit(f"{RDF}type"),
+        F.col("cls_kind"), F.col("cls"), "cls-int1",
+    )
+
+
+def _derive_prp_spo2(kb):
+    """prp-spo2: p owl:propertyChainAxiom (p1 .. pn), x p1·..·pn z => x p z.
+    Chain axioms are T-box: the ordered property lists are reconstructed
+    driver-side from a predicate-pruned collect (capped — a chain table
+    beyond 10k rows means instance data leaked into rdf:first/rest), then
+    each chain compiles to n-1 equi-joins over per-predicate pruned scans."""
+    from pyspark.sql import functions as F
+
+    df = kb.df()
+    axioms = (
+        df.filter(F.col("p") == f"{OWL}propertyChainAxiom")
+        .select("s", "o")
+        .collect()
+    )
+    if not axioms:
+        return None
+    cells = (
+        df.filter(F.col("p").isin(f"{RDF}first", f"{RDF}rest"))
+        .select("s", "p", "o")
+        .limit(10_001)
+        .collect()
+    )
+    if len(cells) > 10_000:
+        raise RuntimeError(
+            "rdf:first/rdf:rest exceeds the 10k T-box cap; property-chain "
+            "reconstruction expects schema-sized lists"
+        )
+    firsts = {r["s"]: r["o"] for r in cells if r["p"] == f"{RDF}first"}
+    rests = {r["s"]: r["o"] for r in cells if r["p"] == f"{RDF}rest"}
+    out = None
+    for ax in axioms:
+        chain, node, seen = [], ax["o"], set()
+        while node in firsts and node not in seen:
+            seen.add(node)
+            chain.append(firsts[node])
+            node = rests.get(node, "")
+        if len(chain) < 2:
+            continue  # degenerate / broken list
+        cur = df.filter(F.col("p") == chain[0]).select(
+            F.col("s_kind").alias("x_kind"), F.col("s").alias("x"),
+            F.col("o_kind").alias("z_kind"), F.col("o").alias("z"),
+        )
+        for pi in chain[1:]:
+            nxt = df.filter(F.col("p") == pi).select(
+                F.col("s").alias("mid"),
+                F.col("o_kind").alias("nz_kind"), F.col("o").alias("nz"),
+            )
+            cur = (
+                cur.filter(F.col("z_kind") != "literal")
+                .join(nxt, F.col("z") == F.col("mid"), "inner")
+                .select(
+                    "x_kind", "x",
+                    F.col("nz_kind").alias("z_kind"), F.col("nz").alias("z"),
+                )
+            )
+        # OWL 2 restricts chains to object properties: node endpoints only
+        head = _triple_rows(
+            cur.filter(F.col("z_kind") != "literal"),
+            F.col("x_kind"), F.col("x"), F.lit(ax["s"]),
+            F.col("z_kind"), F.col("z"), "prp-spo2",
+        )
+        out = head if out is None else out.unionByName(head)
+    return out
+
+
+OWL_LIST_RULES: list[dict] = [
+    {"name": "cls-oo", "derive": _derive_cls_oo},
+    {"name": "cls-uni", "derive": _derive_cls_uni},
+    {"name": "cls-int1", "derive": _derive_cls_int1},
+    {"name": "cls-int2", "derive": _derive_cls_int2},
+    {"name": "prp-spo2", "derive": _derive_prp_spo2},
+]
+
+
 def entailment_rules(level: str) -> list[dict]:
     level = level.lower().lstrip(":")
     if level == "rdfs":
         return list(RDFS_RULES)
     if level in ("owl", "owl-rl", "owlrl"):
-        return list(RDFS_RULES) + list(OWL_RL_RULES)
+        return list(RDFS_RULES) + list(OWL_RL_RULES) + list(OWL_LIST_RULES)
     raise ValueError(f"unknown inference level {level!r} (rdfs | owl)")
 
 

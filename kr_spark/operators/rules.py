@@ -194,8 +194,20 @@ def run_rules_to_fixpoint(kb, rules: list[dict], max_rounds: int = 25) -> int:
     for _ in range(max_rounds):
         derived = None
         for r in rules:
-            head = rule_head_df(kb, r)
+            # a rule may carry `derive`: a callable (kb) -> triple-schema
+            # DataFrame, for entailments a fixed-arity horn body cannot
+            # express (RDF-list class expressions, property chains —
+            # entailment.py OWL_LIST_RULES). It must be monotone over the
+            # KB like any horn rule; the fixpoint treats it identically.
+            if "derive" in r:
+                head = r["derive"](kb)
+                if head is None:
+                    continue
+            else:
+                head = rule_head_df(kb, r)
             derived = head if derived is None else derived.unionByName(head)
+        if derived is None:
+            return total
         before = kb.size()
         kb.add_rows(derived)
         added = kb.size() - before

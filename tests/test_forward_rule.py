@@ -626,12 +626,11 @@ def test_owl_scm_domain_range_closure(kb):
     assert kb.ask_rdf("ex/rex", "rdf/type", "ex/Pet")            # + rdfs3
 
 
-def test_owl_delta_exclusions_pinned(kb):
-    # Pinned divergences vs Jena's :owl rule reasoner (entailment.py
-    # docstring table): RDF-list class expressions (intersectionOf) and
-    # property chains are documented EXCLUSIONS — these fixtures show
-    # exactly what Jena would additionally entail and assert that this
-    # engine (by design) does not.
+def test_owl_list_rules_intersection_and_chain(kb):
+    # Round-4 closure of the r3 pinned exclusions: RDF-list class
+    # expressions and property chains now entail (entailment.py
+    # OWL_LIST_RULES); these are the exact fixtures that previously pinned
+    # the divergence, flipped to Jena's answers.
     from kr_spark.operators.entailment import materialize_entailments
 
     kb.add_statements(
@@ -644,6 +643,7 @@ def test_owl_delta_exclusions_pinned(kb):
             ("_/l2", "rdf/rest", "rdf/nil"),
             ("ex/bob", "rdf/type", "ex/Man"),
             ("ex/bob", "rdf/type", "ex/Parent"),
+            ("ex/sam", "rdf/type", "ex/Man"),  # Man only: NOT a Father
             # propertyChainAxiom: hasGrandparent = hasParent o hasParent
             ("ex/hasGrandparent", "owl/propertyChainAxiom", "_/c1"),
             ("_/c1", "rdf/first", "ex/hasParent"),
@@ -655,6 +655,68 @@ def test_owl_delta_exclusions_pinned(kb):
         ]
     )
     materialize_entailments(kb, "owl")
-    # Jena :owl would entail both of these; the engine pins the exclusion
-    assert not kb.ask_rdf("ex/bob", "rdf/type", "ex/Father")          # cls-int1
-    assert not kb.ask_rdf("ex/kid", "ex/hasGrandparent", "ex/gran")   # prp-spo2
+    assert kb.ask_rdf("ex/bob", "rdf/type", "ex/Father")          # cls-int1
+    assert not kb.ask_rdf("ex/sam", "rdf/type", "ex/Father")      # partial match
+    assert kb.ask_rdf("ex/bob", "rdf/type", "ex/Man")             # cls-int2 dir
+    assert kb.ask_rdf("ex/kid", "ex/hasGrandparent", "ex/gran")   # prp-spo2
+    assert not kb.ask_rdf("ex/mom", "ex/hasGrandparent", "ex/gran")
+
+
+def test_owl_list_rules_oneof_union_int2(kb):
+    from kr_spark.operators.entailment import materialize_entailments
+
+    kb.add_statements(
+        [
+            # oneOf: Weekend = { sat, sun }
+            ("ex/Weekend", "owl/oneOf", "_/d1"),
+            ("_/d1", "rdf/first", "ex/sat"),
+            ("_/d1", "rdf/rest", "_/d2"),
+            ("_/d2", "rdf/first", "ex/sun"),
+            ("_/d2", "rdf/rest", "rdf/nil"),
+            # unionOf: Pet = Dog ∪ Cat
+            ("ex/Pet", "owl/unionOf", "_/u1"),
+            ("_/u1", "rdf/first", "ex/Dog"),
+            ("_/u1", "rdf/rest", "_/u2"),
+            ("_/u2", "rdf/first", "ex/Cat"),
+            ("_/u2", "rdf/rest", "rdf/nil"),
+            ("ex/rex", "rdf/type", "ex/Dog"),
+            # intersectionOf, class direction (cls-int2): declared Father
+            # instance acquires every conjunct type
+            ("ex/Father", "owl/intersectionOf", "_/l1"),
+            ("_/l1", "rdf/first", "ex/Man"),
+            ("_/l1", "rdf/rest", "_/l2"),
+            ("_/l2", "rdf/first", "ex/Parent"),
+            ("_/l2", "rdf/rest", "rdf/nil"),
+            ("ex/abe", "rdf/type", "ex/Father"),
+        ]
+    )
+    materialize_entailments(kb, "owl")
+    assert kb.ask_rdf("ex/sat", "rdf/type", "ex/Weekend")   # cls-oo
+    assert kb.ask_rdf("ex/sun", "rdf/type", "ex/Weekend")
+    assert kb.ask_rdf("ex/rex", "rdf/type", "ex/Pet")       # cls-uni
+    assert not kb.ask_rdf("ex/Dog", "rdf/type", "ex/Pet")
+    assert kb.ask_rdf("ex/abe", "rdf/type", "ex/Man")       # cls-int2
+    assert kb.ask_rdf("ex/abe", "rdf/type", "ex/Parent")
+
+
+def test_owl_delta_exclusions_pinned(kb):
+    # Remaining pinned divergence vs Jena :owl (entailment.py docstring
+    # table): max-cardinality entailments (cls-maxc*) stay excluded — the
+    # fixture shows what Jena would additionally entail (sameAs between the
+    # two fillers under maxCardinality 1) and asserts this engine does not.
+    from kr_spark.operators.entailment import materialize_entailments
+
+    kb.add_statements(
+        [
+            ("ex/R", "rdf/type", "owl/Restriction"),
+            ("ex/R", "owl/onProperty", "ex/hasSpouse"),
+            ("ex/R", "owl/maxCardinality", [1, "xsd/nonNegativeInteger"]),
+            ("ex/Monogamous", "rdfs/subClassOf", "ex/R"),
+            ("ex/pat", "rdf/type", "ex/Monogamous"),
+            ("ex/pat", "ex/hasSpouse", "ex/chris"),
+            ("ex/pat", "ex/hasSpouse", "ex/kim"),
+        ]
+    )
+    materialize_entailments(kb, "owl")
+    # Jena :owl would entail chris sameAs kim; pinned exclusion here
+    assert not kb.ask_rdf("ex/chris", "owl/sameAs", "ex/kim")
