@@ -135,6 +135,24 @@ def _assembled(pd, conv_id, idxs, texts, first_ts, last_ts):
     )
 
 
+def stream_dedup_exact(doc_stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup: drop re-arrivals of byte-identical text within
+    the watermark horizon. The streaming twin of the batch exact dedup
+    (operators/dedup.py) for a continuously-ingested document feed.
+
+    Scale notes: dropDuplicatesWithinWatermark keeps per-key state only
+    until the event-time watermark passes (bounded state), unlike
+    dropDuplicates whose keys accumulate forever; the key is a 64-bit
+    content hash, not the text, so state is ~16 B/doc. Near-dup (MinHash/
+    LSH) stays in the periodic batch compaction — banding needs a corpus-
+    wide bucket join that streaming state cannot express incrementally,
+    same lambda split as connected components."""
+    hashed = doc_stream.withWatermark("ts", watermark).withColumn(
+        "content_hash", F.xxhash64(F.col("text"))
+    )
+    return hashed.dropDuplicatesWithinWatermark(["content_hash"])
+
+
 def windowed_turn_counts(transcript_stream: DataFrame) -> DataFrame:
     """Per-5-minute windowed turn counts by role with late-data watermark —
     the standard streaming aggregation shape over this source."""

@@ -81,6 +81,43 @@ def test_windowed_turn_counts(spark, tmp_path):
     assert roles <= {"user", "assistant", "tool"}
 
 
+def test_stream_dedup_exact(spark, tmp_path):
+    # byte-identical texts re-arriving across micro-batches are dropped
+    # while state stays watermark-bounded
+    from kr_spark.streaming.ingest import stream_dedup_exact
+
+    in_dir = str(tmp_path / "in")
+    ddl = "doc_id string, text string, ts timestamp"
+    rows1 = [("d1", "the quick brown fox", "2026-01-01 10:00:00"),
+             ("d2", "unique text alpha", "2026-01-01 10:00:01"),
+             ("d3", "the quick brown fox", "2026-01-01 10:00:02")]
+    rows2 = [("d4", "the quick brown fox", "2026-01-01 10:00:03"),
+             ("d5", "unique text beta", "2026-01-01 10:00:04")]
+    for i, rows in enumerate((rows1, rows2)):
+        spark.createDataFrame(rows, "doc_id string, text string, ts string").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ).coalesce(1).write.parquet(f"{in_dir}/part{i}")
+
+    stream = (
+        spark.readStream.schema(ddl)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(in_dir)
+    )
+    q = (
+        stream_dedup_exact(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sde")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT text FROM sde").collect()
+    texts = sorted(r.text for r in got)
+    assert texts == ["the quick brown fox", "unique text alpha", "unique text beta"]
+
+
 def test_stateful_conversation_assembler(spark, tmp_path):
     # applyInPandasWithState: per-conv state must persist ACROSS micro-batches
     # (maxFilesPerTrigger=1 forces the two halves of every conversation into
