@@ -494,6 +494,12 @@ class KB:
                     e = s if op == "sum" else s / F.count_distinct(v)
                 else:
                     e = F.sum(v) if op == "sum" else F.avg(v)
+                if not gcols:
+                    # §18.5.1.5-6: Sum({}) = 0 and Avg({}) = 0 — a global
+                    # aggregate over zero solutions yields one row with a
+                    # ZERO, not an unbound var (Jena agrees; grouped
+                    # aggregation never sees an empty group)
+                    e = F.coalesce(e, F.lit(0).cast("decimal(38,9)"))
             elif op in ("min", "max"):
                 # MIN/MAX return the extreme TERM itself (§18.5.1.7-8 —
                 # unlike COUNT/SUM/AVG which mint new literals), so the full

@@ -283,7 +283,11 @@ def compile_pattern(
                 if ckind == "filter":
                     refs: set = set()
                     _collect_expr_vars(kb, cl, refs)
-                    if not refs <= inner_bound:
+                    exn: list = []
+                    _find_exists_nodes(cl, exn)
+                    # exists-bearing filters never lift: they need the arm
+                    # split, not a join-condition expression
+                    if not exn and not refs <= inner_bound:
                         lifted.append(cl)
                         continue
                 keep.append(cl)
@@ -358,32 +362,129 @@ def compile_pattern(
     # EXISTS fails — Jena substitution leaves the var free and the filter
     # errors out the same way).
     for positive, cl in exists_cls:
-        inner = list(cl)
-        # unconditional bindings only (ADVICE r3): a var the inner group
-        # binds solely inside an OPTIONAL / in one UNION branch still takes
-        # the outer value by substitution where its branch leaves it
-        # unbound, so it param-joins like a never-bound var (the param's
-        # equi-join coalesces with the inner binding where that exists).
-        # Remaining known divergence, documented: for an outer row where
-        # such a var is ITSELF unbound, Jena leaves it free (the inner
-        # binding applies) while this compile treats the row as
-        # EXISTS-false (strict param match).
-        bound, expr_refs = _pattern_var_usage(kb, inner, include_conditional=False)
-        corr = [v for v in acc.all_vars if v in expr_refs and v not in bound]
-        if corr:
-            pdf = acc.df.select(*corr)
-            for v in corr:  # NULL params can never match strictly — drop now
-                pdf = pdf.filter(F.col(v).isNotNull())
-            eparams = CompiledPattern(pdf.distinct(), list(corr), list(corr))
-            sub = compile_pattern(kb, inner, graph_scope, params=eparams)
-            acc = _apply_exists(acc, sub, positive, strict_vars=frozenset(corr))
-        else:
-            sub = compile_pattern(kb, inner, graph_scope)
-            acc = _apply_exists(acc, sub, positive)
+        sub, strict = _compile_exists_inner(kb, list(cl), acc, graph_scope)
+        acc = _apply_exists(acc, sub, positive, strict_vars=strict)
 
     for f in filters:
-        acc.df = acc.df.filter(compile_filter_expr(kb, f, acc.df, set(acc.all_vars)))
+        acc = _apply_filter(kb, f, acc, graph_scope)
     return acc
+
+
+def _compile_exists_inner(
+    kb, inner: list, acc: CompiledPattern, graph_scope
+) -> tuple[CompiledPattern, frozenset]:
+    """Compile a FILTER [NOT] EXISTS group against the outer plan `acc`,
+    returning (sub-plan, strict correlation vars).
+
+    Unconditional bindings only (ADVICE r3): a var the inner group binds
+    solely inside an OPTIONAL / in one UNION branch still takes the outer
+    value by substitution where its branch leaves it unbound, so it
+    param-joins like a never-bound var (the param's equi-join coalesces
+    with the inner binding where that exists). Remaining known divergence,
+    documented: for an outer row where such a var is ITSELF unbound, Jena
+    leaves it free (the inner binding applies) while this compile treats
+    the row as EXISTS-false (strict param match)."""
+    bound, expr_refs = _pattern_var_usage(kb, inner, include_conditional=False)
+    corr = [v for v in acc.all_vars if v in expr_refs and v not in bound]
+    if corr:
+        pdf = acc.df.select(*corr)
+        for v in corr:  # NULL params can never match strictly — drop now
+            pdf = pdf.filter(F.col(v).isNotNull())
+        eparams = CompiledPattern(pdf.distinct(), list(corr), list(corr))
+        return compile_pattern(kb, inner, graph_scope, params=eparams), frozenset(corr)
+    return compile_pattern(kb, inner, graph_scope), frozenset()
+
+
+def _find_exists_nodes(expr, out: list) -> None:
+    if isinstance(expr, (list, tuple)) and expr:
+        if expr[0] == ":exists-expr":
+            out.append(expr)
+            return
+        for x in expr:
+            _find_exists_nodes(x, out)
+
+
+def _peval_bool(expr, env: dict):
+    """Partially evaluate a filter s-expression with EXISTS subexpressions
+    pinned to booleans (by node identity). SPARQL's three-valued logic
+    (§17.2) makes the short-circuits sound: false && error = false,
+    true || error = true — so dropping the other operand never changes the
+    effective-boolean outcome. EXISTS under a non-boolean operator (IF,
+    COALESCE, =) is rejected — those positions would need a materialized
+    boolean column, not arm splitting."""
+    if isinstance(expr, (list, tuple)) and expr:
+        if id(expr) in env:
+            return env[id(expr)]
+        op = expr[0]
+        if op in (":and", ":or"):
+            absorb = False if op == ":and" else True
+            parts = [_peval_bool(x, env) for x in expr[1:]]
+            if any(p is absorb for p in parts):
+                return absorb
+            parts = [p for p in parts if not isinstance(p, bool)]
+            if not parts:
+                return not absorb
+            if len(parts) == 1:
+                return parts[0]
+            return (op, *parts)
+        if op == ":not" and len(expr) == 2:
+            p = _peval_bool(expr[1], env)
+            if isinstance(p, bool):
+                return not p
+            return (":not", p)
+        probe: list = []
+        _find_exists_nodes(expr, probe)
+        if probe:
+            raise ValueError(
+                "EXISTS subexpressions are supported only under !/&&/|| "
+                f"in FILTER, not inside {op!r}"
+            )
+        return expr
+    return expr
+
+
+def _apply_filter(
+    kb, f, acc: CompiledPattern, graph_scope
+) -> CompiledPattern:
+    """Apply one group FILTER. Plain expressions filter in place; an
+    expression embedding [NOT] EXISTS subexpressions (§17.4.1.4-5) compiles
+    by TRUTH-ASSIGNMENT ARM SPLITTING: for each assignment of the k EXISTS
+    terms, rows with exactly that truth pattern are selected via the same
+    semi/anti joins the clause-level form uses, the residual expression is
+    partially evaluated under the assignment, and surviving arms union.
+    The arms partition the input, so no row ids are needed and every join
+    stays a hash semi/anti join; k is capped at 2 (4 arms)."""
+    nodes: list = []
+    _find_exists_nodes(f, nodes)
+    if not nodes:
+        acc.df = acc.df.filter(compile_filter_expr(kb, f, acc.df, set(acc.all_vars)))
+        return acc
+    if len(nodes) > 2:
+        raise ValueError("at most 2 EXISTS subexpressions per FILTER expression")
+    subs = [
+        _compile_exists_inner(kb, list(n[1]), acc, graph_scope) for n in nodes
+    ]
+    arms = []
+    for assign in itertools.product((True, False), repeat=len(nodes)):
+        residual = _peval_bool(f, {id(n): v for n, v in zip(nodes, assign)})
+        if residual is False:
+            continue
+        arm = CompiledPattern(
+            acc.df, list(acc.all_vars), list(acc.visible_vars), set(acc.maybe_null)
+        )
+        for (sub, strict), truth in zip(subs, assign):
+            arm = _apply_exists(arm, sub, truth, strict_vars=strict)
+        if residual is not True:
+            arm.df = arm.df.filter(
+                compile_filter_expr(kb, residual, arm.df, set(arm.all_vars))
+            )
+        arms.append(arm.df)
+    df = None
+    for a in arms:
+        df = a if df is None else df.unionByName(a)
+    if df is None:  # every assignment's residual is constant false
+        df = acc.df.filter(F.lit(False))
+    return CompiledPattern(df, acc.all_vars, acc.visible_vars, set(acc.maybe_null))
 
 
 def _expr_refs_any(expr, names: set) -> bool:

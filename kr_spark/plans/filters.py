@@ -89,6 +89,9 @@ FILTER_OPS = frozenset(
         ":rand",
         ":uuid",
         ":struuid",
+        # EXISTS as a subexpression (§17.4.1.4) — handled by the pattern
+        # compiler's arm splitting, never evaluated here (see _apply_op)
+        ":exists-expr",
         ":now",
         ":year",
         ":month",
@@ -486,6 +489,13 @@ def _apply_op(kb, op: str, args, plan_vars: set) -> _Val:
 
     if op == ":isNumeric":
         return _Val(plain=A[0].is_numeric_pred(), is_bool=True)
+
+    if op == ":exists-expr":
+        raise ValueError(
+            "EXISTS subexpressions are supported only under !/&&/|| in "
+            "FILTER (compiled by arm splitting); not in BIND/HAVING or "
+            "under non-boolean operators"
+        )
 
     if op in (":rand", ":uuid", ":struuid"):
         # §17.4.1.4 RAND -> xsd:double in [0,1); §17.4.5.5 UUID -> a fresh

@@ -110,6 +110,9 @@ def _emit_filter_expr(kb, e) -> str:
         return "(" + " && ".join(_emit_filter_expr(kb, a) for a in e[1:]) + ")"
     if op == ":or":
         return "(" + " || ".join(_emit_filter_expr(kb, a) for a in e[1:]) + ")"
+    if op == ":exists-expr":
+        inner = emit_body(kb, list(e[1]), "  ")
+        return "EXISTS {\n" + inner + "\n}"
     if op in (":in", ":not-in"):
         kw = "IN" if op == ":in" else "NOT IN"
         alts = ", ".join(_emit_filter_expr(kb, a) for a in e[2:])

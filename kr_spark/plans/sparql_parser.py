@@ -190,7 +190,22 @@ class _Parser:
                     self.eat("exists")
                     clauses.append((":not-exists", *self.group()))
                 else:
-                    clauses.append(self.filter_expr())
+                    e = self.filter_expr()
+                    # a parenthesized FILTER((NOT) EXISTS {..}) normalizes
+                    # to the clause-level semi/anti form (single join, no
+                    # arm splitting)
+                    if isinstance(e, tuple) and e and e[0] == ":exists-expr":
+                        e = (":exists", *e[1])
+                    elif (
+                        isinstance(e, tuple)
+                        and len(e) == 2
+                        and e[0] == ":not"
+                        and isinstance(e[1], tuple)
+                        and e[1]
+                        and e[1][0] == ":exists-expr"
+                    ):
+                        e = (":not-exists", *e[1][1])
+                    clauses.append(e)
             elif self.at_kw("graph"):
                 self.next()
                 g = self._term(self.next())
@@ -496,6 +511,20 @@ class _Parser:
         if self.peek() == "!":
             self.next()
             return (":not", self._unary_expr())
+        # ExistsFunc / NotExistsFunc in expression position (§17.4.1.4-5):
+        # FILTER(EXISTS { ... } && ?a > 3). Compiled by truth-assignment arm
+        # splitting in the pattern compiler (semi/anti join per arm).
+        if self.at_kw("exists"):
+            self.next()
+            return (":exists-expr", tuple(self.group()))
+        if (
+            self.at_kw("not")
+            and self.pos + 1 < len(self.toks)
+            and self.toks[self.pos + 1].lower() == "exists"
+        ):
+            self.next()
+            self.next()
+            return (":not", (":exists-expr", tuple(self.group())))
         if self.peek() in ("-", "+"):
             # UnaryExpression [118]: '+'/'-' PrimaryExpression. Compiled as
             # 0±e — same XPath promotion (int stays int, decimal stays

@@ -395,3 +395,72 @@ def test_blank_node_property_lists(kb):
         PREFIXES + "SELECT * WHERE { ?z ex:owns [ ex:color ex:red ] . }"
     )
     assert set(rows[0].keys()) == {"z"}
+
+
+EXISTS_EXPR_DATA = [
+    ("ex/a", "foaf/name", "Ann"), ("ex/a", "foaf/age", [40, "xsd/integer"]),
+    ("ex/b", "foaf/name", "Bea"), ("ex/b", "foaf/age", [30, "xsd/integer"]),
+    ("ex/c", "foaf/name", "Cy"), ("ex/c", "foaf/age", [30, "xsd/integer"]),
+    ("ex/a", "foaf/knows", "ex/b"), ("ex/b", "foaf/knows", "ex/c"),
+]
+
+
+def test_exists_as_subexpression(kb):
+    # §17.4.1.4-5 ExistsFunc in expression position: compiled by
+    # truth-assignment arm splitting (semi/anti join per arm)
+    load_fixture(kb, EXISTS_EXPR_DATA)
+
+    def names(q):
+        return sorted(b["x"].v.rsplit("/", 1)[-1] for b in kb.sparql_query(q))
+
+    assert names(
+        PREFIXES + "SELECT ?x WHERE { ?x foaf:age ?a "
+        "FILTER(EXISTS { ?x foaf:knows ?y } && ?a > 35) }"
+    ) == ["a"]
+    assert names(
+        PREFIXES + "SELECT ?x WHERE { ?x foaf:age ?a "
+        "FILTER(EXISTS { ?x foaf:knows ?y } || ?a > 35) }"
+    ) == ["a", "b"]
+    assert names(
+        PREFIXES + "SELECT ?x WHERE { ?x foaf:age ?a "
+        "FILTER(NOT EXISTS { ?x foaf:knows ?y } && ?a = 30) }"
+    ) == ["c"]
+    # two EXISTS terms (4 arms): knows someone AND nobody knows them
+    assert names(
+        PREFIXES + "SELECT ?x WHERE { ?x foaf:age ?a "
+        "FILTER(EXISTS { ?x foaf:knows ?y } && !EXISTS { ?z foaf:knows ?x }) }"
+    ) == ["a"]
+    # parenthesized whole-filter forms normalize to the clause-level join
+    assert names(
+        PREFIXES + "SELECT ?x WHERE { ?x foaf:age ?a "
+        "FILTER(!EXISTS { ?x foaf:knows ?y }) }"
+    ) == ["c"]
+    # correlated: inner references outer ?a only in its FILTER
+    assert names(
+        PREFIXES + "SELECT ?x WHERE { ?x foaf:age ?a "
+        "FILTER(EXISTS { ?y foaf:age ?b FILTER(?b > ?a) } && ?a > 10) }"
+    ) == ["b", "c"]
+
+
+def test_exists_expr_rejected_under_non_boolean(kb):
+    load_fixture(kb, EXISTS_EXPR_DATA)
+    with pytest.raises(ValueError, match="EXISTS subexpressions"):
+        kb.sparql_query(
+            PREFIXES + "SELECT ?x WHERE { ?x foaf:age ?a "
+            'FILTER(IF(EXISTS { ?x foaf:knows ?y }, "t", "f") = "t") }'
+        )
+
+
+def test_empty_set_aggregate_base_cases(kb):
+    # §18.5.1.5-6: Sum({}) = 0, Avg({}) = 0; GROUP_CONCAT({}) = "";
+    # COUNT({}) = 0; MIN/MAX/SAMPLE({}) = error -> unbound
+    load_fixture(kb, EXISTS_EXPR_DATA)
+    rows = kb.sparql_query(
+        PREFIXES + "SELECT (SUM(?a) AS ?s) (AVG(?a) AS ?m) (COUNT(?a) AS ?c) "
+        "(GROUP_CONCAT(?a) AS ?g) (MAX(?a) AS ?mx) "
+        "WHERE { ?x foaf:age ?a FILTER(?a > 99) }"
+    )
+    assert len(rows) == 1
+    b = rows[0]
+    assert (b["s"].v, b["m"].v, b["c"].v, b["g"].v) == ("0", "0", "0", "")
+    assert "mx" not in b
