@@ -1092,7 +1092,11 @@ def _project_template(kb, plan: CompiledPattern, tmpl) -> DataFrame:
     num = F.when(
         o_dt.isin(*sorted(NUMERIC_DATATYPES)), o_v.cast("decimal(38,9)")
     ).otherwise(F.lit(None).cast("decimal(38,9)"))
-    return plan.df.select(
+    # §16.2: a template instantiation with ANY unbound variable produces no
+    # triple (an OPTIONAL/UNION var can be null here). Constant slots are
+    # literals — the predicate is trivially true for them.
+    bound = s_v.isNotNull() & p_v.isNotNull() & o_k.isNotNull()
+    return plan.df.filter(bound).select(
         s_k.alias("s_kind"),
         s_v.alias("s"),
         p_v.alias("p"),

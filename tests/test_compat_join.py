@@ -212,3 +212,26 @@ def test_strict_keys_stay_hash_join(kb):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan, plan
+
+
+def test_construct_drops_unbound_template_instantiations(kb):
+    # §16.2: CONSTRUCT emits no triple when a template var is unbound
+    load_fixture(kb, [
+        ("ex/a", "foaf/name", "Ann"), ("ex/a", "foaf/knows", "ex/b"),
+        ("ex/b", "foaf/name", "Bea"),
+    ])
+    df = kb.construct(
+        [("?/x", "ex/link", "?/k")],
+        [("?/x", "foaf/name", "?/n"), (":optional", ("?/x", "foaf/knows", "?/k"))],
+    )
+    rows = df.collect()
+    assert len(rows) == 1  # only ex/a has a ?k binding; ex/b row dropped
+    assert rows[0].s.endswith("/a") and rows[0].o.endswith("/b")
+    # raw-string surface agrees
+    out = kb.sparql(
+        "PREFIX foaf: <http://xmlns.com/foaf/0.1/> "
+        "PREFIX ex: <http://www.example.org/> "
+        "CONSTRUCT { ?x ex:link ?k } WHERE "
+        "{ ?x foaf:name ?n OPTIONAL { ?x foaf:knows ?k } }"
+    )
+    assert out.count() == 1
