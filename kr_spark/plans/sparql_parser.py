@@ -39,7 +39,7 @@ _TOKEN = re.compile(
     | (?P<string>"(?:[^"\\]|\\.)*")
     | (?P<var>[?$][A-Za-z_][\w-]*)
     | (?P<bnode>_:[A-Za-z_][\w-]*)
-    | (?P<number>[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+    | (?P<number>[+-]?(?:\d+\.\d+|\.\d+|\d+)(?:[eE][+-]?\d+)?)
     | (?P<langtag>@[A-Za-z][\w-]*)
     | (?P<dtmark>\^\^)
     | (?P<punct>[{}()\[\].,;]|\|\||&&|!=|<=|>=|[=<>!*/+?^|-])
@@ -141,7 +141,11 @@ class _Parser:
             return [lex]  # explicit quoted literal without tag = bare-boxed
         if re.fullmatch(r"[+-]?\d+", tok):
             return int(tok)
-        if re.fullmatch(r"[+-]?\d*\.\d+(?:[eE][+-]?\d+)?|[+-]?\d+[eE][+-]?\d+", tok):
+        if re.fullmatch(r"[+-]?\d*\.\d+", tok):
+            # DECIMAL (grammar [147], no exponent) -> xsd:decimal; only an
+            # exponent makes the token a DOUBLE
+            return [tok, "<http://www.w3.org/2001/XMLSchema#decimal>"]
+        if re.fullmatch(r"[+-]?\d*\.?\d+[eE][+-]?\d+", tok):
             return float(tok)
         if ":" in tok:
             short, local = tok.split(":", 1)

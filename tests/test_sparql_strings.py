@@ -464,3 +464,26 @@ def test_empty_set_aggregate_base_cases(kb):
     b = rows[0]
     assert (b["s"].v, b["m"].v, b["c"].v, b["g"].v) == ("0", "0", "0", "")
     assert "mx" not in b
+
+
+def test_numeric_literal_forms(kb):
+    # grammar [146-148]: INTEGER -> xsd:integer, DECIMAL (.5 / 2.5, no
+    # exponent) -> xsd:decimal, DOUBLE (1e3) -> xsd:double
+    rows = kb.sparql_query(
+        "SELECT (1e3 AS ?a) (.5 + .25 AS ?b) (2.5 AS ?c) (1 + 1 AS ?d) WHERE {}"
+    )
+    b = rows[0]
+    got = {k: (v.v, v.dt.rsplit("#")[-1]) for k, v in b.items()}
+    assert got == {
+        "a": ("1000", "double"),
+        "b": ("0.75", "decimal"),
+        "c": ("2.5", "decimal"),
+        "d": ("2", "integer"),
+    }
+    # a trailing '5 .' in triple position still terminates the triple
+    load_fixture(kb, [("ex/a", "ex/v", [5, "xsd/integer"])])
+    rows = kb.sparql_query(
+        "PREFIX ex: <http://www.example.org/> "
+        "SELECT ?x WHERE { ?x ex:v 5 . ?x ex:v ?v FILTER(?v > .5) }"
+    )
+    assert len(rows) == 1
