@@ -152,3 +152,73 @@ def _nt_quote(t: str) -> str:
         .replace("\t", "\\t")
     )
     return '"' + out + '"'
+
+
+# ---- compatibility-join vs a naive SPARQL evaluator (§18.3/§18.2.2.6) ----
+
+_node = st.integers(min_value=0, max_value=3)
+
+
+@st.composite
+def _compat_corpus(draw):
+    """Random tiny quad-free dataset over predicates p/q/r with ~overlapping
+    node domains, for the shape ?x p ?y OPTIONAL { ?y q ?z } ?w r ?z."""
+    p_edges = draw(st.lists(st.tuples(_node, _node), min_size=1, max_size=5, unique=True))
+    q_edges = draw(st.lists(st.tuples(_node, _node), max_size=5, unique=True))
+    r_edges = draw(st.lists(st.tuples(_node, _node), max_size=5, unique=True))
+    return p_edges, q_edges, r_edges
+
+
+def _naive_compat_eval(p_edges, q_edges, r_edges):
+    """Reference evaluator: Join(LeftJoin(BGP(?x p ?y), BGP(?y q ?z)),
+    BGP(?w r ?z)) with SPARQL compatible-mapping semantics."""
+    left = []
+    for x, y in p_edges:
+        zs = [z for (y2, z) in q_edges if y2 == y]
+        if zs:
+            left.extend({"x": x, "y": y, "z": z} for z in zs)
+        else:
+            left.append({"x": x, "y": y})
+    out = set()
+    for sol in left:
+        for w, z2 in r_edges:
+            if "z" in sol and sol["z"] != z2:
+                continue
+            out.add((sol["x"], sol["y"], z2, w))
+    return out
+
+
+@given(_compat_corpus())
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_compat_join_matches_naive_evaluator(spark, corpus):
+    from kr_spark.kb import KB
+
+    p_edges, q_edges, r_edges = corpus
+    kb = KB(spark)
+    stmts = (
+        [(f"ex/n{a}", "ex/p", f"ex/n{b}") for a, b in p_edges]
+        + [(f"ex/n{a}", "ex/q", f"ex/n{b}") for a, b in q_edges]
+        + [(f"ex/n{a}", "ex/r", f"ex/n{b}") for a, b in r_edges]
+    )
+    kb.add_statements(stmts)
+    rows = kb.query(
+        [
+            ("?/x", "ex/p", "?/y"),
+            (":optional", ("?/y", "ex/q", "?/z")),
+            ("?/w", "ex/r", "?/z"),
+        ]
+    )
+    got = {
+        (
+            int(b["x"].v[-1]),
+            int(b["y"].v[-1]),
+            int(b["z"].v[-1]),
+            int(b["w"].v[-1]),
+        )
+        for b in rows
+    }
+    assert got == _naive_compat_eval(p_edges, q_edges, r_edges)
