@@ -272,3 +272,15 @@ def test_remote_graph_term_validated(mock_endpoint):
             [("ex/a", "foaf/name", "A")],
             graph="<http://x/> { } ; DROP ALL ; INSERT DATA { <http://y/>",
         )
+
+
+def test_emit_exists_subexpression(kb):
+    # :exists-expr (EXISTS inside a boolean filter expression) must emit a
+    # remote-endpoint-valid string — the remote connector sends these
+    from kr_spark.plans.sparql_emit import _emit_filter_expr
+
+    e = (":and", (":exists-expr", (("?/x", "foaf/knows", "?/y"),)), (">", "?/a", 30))
+    s = _emit_filter_expr(kb, e)
+    assert s.startswith("(EXISTS {")
+    assert "?x <http://xmlns.com/foaf/0.1/knows> ?y" in s
+    assert s.endswith('&& (?a > "30"^^<http://www.w3.org/2001/XMLSchema#integer>))')
