@@ -299,18 +299,34 @@ def q_filter_regex(spark, sf_dir):
 
 
 def q_filter_numeric(spark, sf_dir):
-    """F5/F6: value-space numeric range filter + arithmetic output (cents)."""
+    """F5/F6: value-space numeric range filter + arithmetic output (cents).
+
+    Round 5 (VERDICT r4 task #4): the fixture now EXERCISES error
+    semantics through the hash-compared gate — ?key is minted by an XPath
+    constructor cast (§17.5) from the URI tail, and 1000/(?key mod 7) has
+    a ZERO divisor on every 7th customer, which must be a per-row unbound
+    (NULL inv_cents, matching DuckDB's NULLIF oracle), never a
+    query-aborting ANSI exception."""
     kb = make_kb(spark, sf_dir)
     plan = kb.plan(
         [
             ("?/c", "rel/acctbal", "?/bal"),
             ("?/c", "rdf/type", "ty/Customer"),
             (":and", (">=", "?/bal", 9000), ("<", "?/bal", 9500)),
+            (":bind",
+             (":xsd-cast", "integer", (":strafter", (":str", "?/c"), [CUST])),
+             "?/key"),
+            (":bind", ("-", "?/key", ("*", 7, (":floor", ("/", "?/key", 7)))),
+             "?/m"),
+            (":bind", ("/", 1000, "?/m"), "?/inv"),
         ]
     )
     return plan.df.select(
         F.col("c")["v"].alias("cust"),
         F.round(F.col("bal")["v"].cast("double") * 100).cast("long").alias("bal_cents"),
+        F.round(F.col("inv")["v"].try_cast("decimal(38,9)") * 100)
+        .cast("long")
+        .alias("inv_cents"),
     )
 
 
@@ -1194,10 +1210,15 @@ def q_sparql_order_offset(spark, sf_dir):
 def q_sparql_builtins(spark, sf_dir):
     """SPARQL 1.1 §17.4 builtins (STRLEN/LCASE/SUBSTR/STRAFTER/REPLACE/IF/
     MD5) through the raw-string surface — every one compiles to a single
-    Catalyst expression in one projection (no Python, one scan)."""
+    Catalyst expression in one projection (no Python, one scan).
+
+    Round 5 (VERDICT r4 task #4): ?key is an xsd:integer() constructor
+    cast of the name tail, and ?err divides by (?key mod 3) — zero on
+    every third customer — so the hash-compared gate exercises both the
+    §17.5 cast path and per-row arithmetic-error semantics."""
     kb = make_kb(spark, sf_dir)
     df = kb.sparql_query_df(
-        """SELECT ?name ?len ?low ?pre ?tail ?rep ?sign ?h
+        """SELECT ?name ?len ?low ?pre ?tail ?rep ?sign ?h ?key ?err
            WHERE { ?c a ty:Customer . ?c foaf:name ?name .
                    ?c rel:acctbal ?bal .
                    FILTER(STRSTARTS(?name, "Customer"))
@@ -1207,7 +1228,9 @@ def q_sparql_builtins(spark, sf_dir):
                    BIND(STRAFTER(?name, "#") AS ?tail)
                    BIND(REPLACE(?name, "Customer", "Cst") AS ?rep)
                    BIND(IF(?bal >= 0, "pos", "neg") AS ?sign)
-                   BIND(MD5(?name) AS ?h) }"""
+                   BIND(MD5(?name) AS ?h)
+                   BIND(xsd:integer(?tail) AS ?key)
+                   BIND(10 / (?key - 3 * FLOOR(?key / 3)) AS ?err) }"""
     )
     return df.select(
         F.col("name")["v"].alias("name"),
@@ -1218,6 +1241,10 @@ def q_sparql_builtins(spark, sf_dir):
         F.col("rep")["v"].alias("rep"),
         F.col("sign")["v"].alias("sign"),
         F.col("h")["v"].alias("h"),
+        F.col("key")["v"].cast("long").alias("key"),
+        F.round(F.col("err")["v"].try_cast("decimal(38,9)") * 100)
+        .cast("long")
+        .alias("err_cents"),
     )
 
 
@@ -1247,7 +1274,10 @@ ORACLES = {
                     ELSE '' END AS tail,
                REPLACE(c_name, 'Customer', 'Cst') AS rep,
                CASE WHEN c_acctbal >= 0 THEN 'pos' ELSE 'neg' END AS sign,
-               MD5(c_name) AS h
+               MD5(c_name) AS h,
+               CAST(c_custkey AS BIGINT) AS key,
+               CAST(ROUND(10.0 / NULLIF(c_custkey % 3, 0) * 100) AS BIGINT)
+                 AS err_cents
         FROM customer WHERE c_name LIKE 'Customer%'
     """,
     "q_describe": f"""
@@ -1353,7 +1383,9 @@ ORACLES = {
         WHERE regexp_matches(c_name, '(?i)^customer#0*1$')
     """,
     "q_filter_numeric": f"""
-        SELECT {_CU} AS cust, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+        SELECT {_CU} AS cust, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents,
+               CAST(ROUND(1000.0 / NULLIF(c_custkey % 7, 0) * 100) AS BIGINT)
+                 AS inv_cents
         FROM customer WHERE c_acctbal >= 9000 AND c_acctbal < 9500
     """,
     "q_distinct": """

@@ -377,7 +377,7 @@ class KB:
                 (~c["dt"].isin(*sorted(NUMERIC_DATATYPES))).cast("int").alias("nonnum"),
                 F.when(
                     c["dt"].isin(*sorted(NUMERIC_DATATYPES)),
-                    c["v"].cast("decimal(38,9)"),
+                    c["v"].try_cast("decimal(38,9)"),
                 ).alias("num"),
                 c["v"].alias("lex"),
                 c.alias("term"),
@@ -457,8 +457,10 @@ class KB:
             df = df.withColumns(arg_cols)
 
         def _num(name: str):
+            # try_cast: a malformed numeric lexical form in data is a
+            # per-row non-value, never an ANSI exception mid-aggregation
             c = F.col(name)
-            return F.when(c["dt"].isin(*num_list), c["v"].cast("decimal(38,9)"))
+            return F.when(c["dt"].isin(*num_list), c["v"].try_cast("decimal(38,9)"))
 
         def _ordkey(name: str):
             c = F.col(name)
@@ -474,12 +476,15 @@ class KB:
             if op == "count":
                 if name is None:
                     # COUNT(*) / COUNT(DISTINCT *): the latter counts
-                    # distinct SOLUTIONS (struct over every binding — a
-                    # plain count_distinct(cols) would drop NULL-bearing
-                    # partial solutions)
+                    # distinct SOLUTIONS — a struct over the IN-SCOPE vars
+                    # (visible_vars), not all_vars: two solutions identical
+                    # on every visible var but matched via different
+                    # blank-node pattern vars are ONE solution (ADVICE r4);
+                    # the struct (vs plain count_distinct(cols)) keeps
+                    # NULL-bearing partial solutions countable
                     if distinct:
                         e = F.count_distinct(
-                            F.struct(*[F.col(v) for v in plan.all_vars])
+                            F.struct(*[F.col(v) for v in plan.visible_vars])
                         )
                     else:
                         e = F.count(F.lit(1))
@@ -488,12 +493,15 @@ class KB:
                 else:
                     e = F.count(F.col(name))
             elif op in ("sum", "avg"):
+                # try_sum/try_avg/try_divide: decimal overflow or an all-
+                # error group yields NULL (unbound) instead of an ANSI
+                # exception that aborts the query
                 v = _num(name)
                 if distinct:
                     s = F.sum_distinct(v)
-                    e = s if op == "sum" else s / F.count_distinct(v)
+                    e = s if op == "sum" else F.try_divide(s, F.count_distinct(v))
                 else:
-                    e = F.sum(v) if op == "sum" else F.avg(v)
+                    e = F.try_sum(v) if op == "sum" else F.try_avg(v)
                 if not gcols:
                     # §18.5.1.5-6: Sum({}) = 0 and Avg({}) = 0 — a global
                     # aggregate over zero solutions yields one row with a

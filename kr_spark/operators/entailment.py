@@ -46,7 +46,8 @@ divergence test (tests/test_forward_rule.py::test_owl_delta_exclusions_*):
 | domain/range schema closure              | yes (r4) | scm-dom1/dom2, scm-rng1/rng2 |
 | intersectionOf / unionOf class exprs     | yes (r4) | cls-int1/int2, cls-uni — `derive` rules over the rdf:rest membership closure (OWL_LIST_RULES); cls-int1's all-members check is a countDistinct groupBy |
 | oneOf enumerations (cls-oo)              | yes (r4) | membership join; literal members (data ranges) excluded from type minting |
-| cardinality restrictions (cls-maxc*)     | NO   | max-cardinality entailments need per-(x,p) group counts mid-fixpoint; excluded (pinned) |
+| maxCardinality 1 -> sameAs (cls-maxc2)   | yes (r5) | pairwise join, prp-fp shape; the one cardinality rule real ontologies hit |
+| other cardinality restrictions (maxCardinality>=2, qualified cls-maxqc*) | NO | general max-N needs per-(x,p) group counts mid-fixpoint; excluded (pinned) |
 | propertyChainAxiom (prp-spo2)            | yes (r4) | T-box chain lists reconstructed driver-side (10k cap), n-1 equi-joins per chain |
 | differentFrom/disjointWith (cax-dw, eq-diff1) | NO | these signal INCONSISTENCY, not new triples — a materializer has no error channel; excluded by design |
 | axiomatic/vocabulary triples (owl:Thing, rdfs:Resource memberships) | NO | Jena floods every node with them; at 10^12-turn scale that is O(N) pure noise — excluded by design |
@@ -187,6 +188,30 @@ OWL_RL_RULES: list[dict] = [
             ("?/x1", "?/p", "?/y"),
             ("?/x2", "?/p", "?/y"),
             ("!", ("=", "?/x1", "?/x2")),
+        ],
+    },
+    {
+        # maxCardinality 1 on a used property: two fillers of one (u,p)
+        # are the same node (OWL 2 RL cls-maxc2; VERDICT r4 stretch #7).
+        # The =1 case is a PAIRWISE join — same shape as prp-fp, no
+        # mid-fixpoint per-(u,p) group count needed (that problem only
+        # exists for general max-N); the cardinality matches through the
+        # value-space '=' filter so every lexical/datatype spelling of 1
+        # ("1"^^xsd:nonNegativeInteger, "1"^^xsd:int, 1) triggers.
+        # Literal fillers stay excluded like prp-fp; maxCardinality 0
+        # (cls-maxc1) signals inconsistency and stays excluded with cax-dw.
+        "name": "cls-maxc2",
+        "head": [("?/y1", _SAME, "?/y2")],
+        "body": [
+            ("?/c", f"<{OWL}maxCardinality>", "?/n"),
+            ("=", "?/n", 1),
+            ("?/c", f"<{OWL}onProperty>", "?/p"),
+            ("?/u", _TYPE, "?/c"),
+            ("?/u", "?/p", "?/y1"),
+            ("?/u", "?/p", "?/y2"),
+            ("!", (":isLiteral", "?/y1")),
+            ("!", (":isLiteral", "?/y2")),
+            ("!", ("=", "?/y1", "?/y2")),
         ],
     },
     {

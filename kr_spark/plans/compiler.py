@@ -512,7 +512,7 @@ def _collect_expr_vars(kb, expr, out: set) -> None:
 
 
 def _pattern_var_usage(
-    kb, clauses, include_conditional: bool = True
+    kb, clauses, include_conditional: bool = True, for_nullability: bool = False
 ) -> tuple[set, set]:
     """-> (vars bound by triple patterns / BIND / VALUES in the group, vars
     referenced in expression position). Used to detect EXISTS correlation:
@@ -525,7 +525,16 @@ def _pattern_var_usage(
     bound solely inside an OPTIONAL, or in some-but-not-all UNION branches,
     is NOT 'bound' (ADVICE r3: such vars must still participate in EXISTS
     substitution — in the branch where they are unbound, Jena's substitute
-    sees the outer value, not NULL)."""
+    sees the outer value, not NULL).
+
+    for_nullability=True computes the stricter DEFINITELY-NON-NULL set for
+    _subquery_maybe_null (ADVICE r4 medium #1): a BIND alias is excluded —
+    its expression may read a conditionally-bound var or simply error
+    (§18.2.4.4 leaves the var unbound) — a VALUES var counts only when no
+    row is UNDEF, and a nested subquery's projections defer to its own
+    maybe-null analysis. This mode is NOT for EXISTS-correlation detection:
+    there a BIND alias genuinely shadows the outer var and must count as
+    bound, or the inner binding would be clobbered by substitution."""
     bound: set = set()
     refs: set = set()
     for clause in clauses:
@@ -542,18 +551,21 @@ def _pattern_var_usage(
                 if t is not None:
                     bound.add(t.v)
         elif kind == "group":
-            b, r = _pattern_var_usage(kb, list(payload), include_conditional)
+            b, r = _pattern_var_usage(kb, list(payload), include_conditional,
+                                      for_nullability)
             bound |= b
             refs |= r
         elif kind == "optional":
-            b, r = _pattern_var_usage(kb, list(payload), include_conditional)
+            b, r = _pattern_var_usage(kb, list(payload), include_conditional,
+                                      for_nullability)
             if include_conditional:
                 bound |= b
             refs |= r
         elif kind == "union":
             branch_bounds = []
             for branch in payload:
-                b, r = _pattern_var_usage(kb, list(branch), include_conditional)
+                b, r = _pattern_var_usage(kb, list(branch), include_conditional,
+                                          for_nullability)
                 branch_bounds.append(b)
                 refs |= r
             if include_conditional:
@@ -566,9 +578,17 @@ def _pattern_var_usage(
         elif kind == "bind":
             expr, var = payload
             _collect_expr_vars(kb, expr, refs)
-            bound.add(kb.term(var).v)
+            # nullability mode: a BIND alias is never definitely-non-null —
+            # the expression can error, or read an OPTIONAL/UNION var
+            # (ADVICE r4: counting it restored the strict-equi wrong answer)
+            if not for_nullability:
+                bound.add(kb.term(var).v)
         elif kind == "values":
-            for v in payload[0]:
+            for i, v in enumerate(payload[0]):
+                if for_nullability and any(
+                    row[i] is None for row in payload[1]
+                ):
+                    continue  # an UNDEF cell makes the var maybe-null
                 bound.add(kb.term(v).v)
         elif kind in ("exists", "not-exists"):
             b, r = _pattern_var_usage(kb, list(payload), include_conditional)
@@ -576,15 +596,25 @@ def _pattern_var_usage(
         elif kind == "subquery":
             q = payload
             if q["type"] == "select" and q["select_vars"]:
-                bound |= {kb.term(v).v for v in q["select_vars"]}
+                names = {kb.term(v).v for v in q["select_vars"]}
+                if for_nullability:
+                    names -= _subquery_maybe_null(kb, q, sorted(names))
+                bound |= names
             elif q["type"] == "aggregate":
-                bound |= set(
+                names = set(
                     q.get("select_order")
                     or [kb.term(g).v for g in q["group_by"]]
                     + [s[2] for s in q["aggs"]]
                 )
+                if for_nullability:
+                    names -= _subquery_maybe_null(kb, q, sorted(names))
+                bound |= names
             else:  # SELECT *: projects everything its own pattern binds
-                b, _ = _pattern_var_usage(kb, list(q["pattern"]))
+                b, _ = _pattern_var_usage(
+                    kb, list(q["pattern"]),
+                    include_conditional=not for_nullability,
+                    for_nullability=for_nullability,
+                )
                 bound |= b
         # minus: skipped (no substitution into MINUS)
     return bound, refs
@@ -850,7 +880,9 @@ def _subquery_maybe_null(kb, q: dict, names: list[str]) -> set:
     (an erroring expression leaves ?v unbound, §18.2.4.4) — is maybe-null.
     Over-marking is semantically safe (the null arm just never fires);
     under-marking would silently restore the strict-equi wrong answer."""
-    bound, _ = _pattern_var_usage(kb, list(q["pattern"]), include_conditional=False)
+    bound, _ = _pattern_var_usage(
+        kb, list(q["pattern"]), include_conditional=False, for_nullability=True
+    )
     nonnull = set(bound)
     for spec in q.get("aggs") or []:
         op, operand, alias = spec[0], spec[1], spec[2]
@@ -1090,7 +1122,7 @@ def _project_template(kb, plan: CompiledPattern, tmpl) -> DataFrame:
     _, p_v, _, _ = _slot_cols(kb, pv, tmpl[1], as_subject=False)
     o_k, o_v, o_lang, o_dt = _slot_cols(kb, pv, tmpl[2], as_subject=False)
     num = F.when(
-        o_dt.isin(*sorted(NUMERIC_DATATYPES)), o_v.cast("decimal(38,9)")
+        o_dt.isin(*sorted(NUMERIC_DATATYPES)), o_v.try_cast("decimal(38,9)")
     ).otherwise(F.lit(None).cast("decimal(38,9)"))
     # §16.2: a template instantiation with ANY unbound variable produces no
     # triple (an OPTIONAL/UNION var can be null here). Constant slots are

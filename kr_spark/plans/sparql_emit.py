@@ -117,6 +117,15 @@ def _emit_filter_expr(kb, e) -> str:
         kw = "IN" if op == ":in" else "NOT IN"
         alts = ", ".join(_emit_filter_expr(kb, a) for a in e[2:])
         return f"({_emit_filter_expr(kb, e[1])} {kw} ({alts}))"
+    if op == ":xsd-cast":
+        # XPath constructor cast (§17.5): emit the full-IRIREF function
+        # form so the string is prefix-independent on the remote wire —
+        # <http://www.w3.org/2001/XMLSchema#integer>(?x) parses back to the
+        # same (":xsd-cast", "integer", ...) s-expr
+        return (
+            f"<http://www.w3.org/2001/XMLSchema#{e[1]}>"
+            + "(" + _emit_filter_expr(kb, e[2]) + ")"
+        )
     if op in _BINARY:
         if len(e) == 3:
             return f"({_emit_filter_expr(kb, e[1])} {op} {_emit_filter_expr(kb, e[2])})"

@@ -53,6 +53,8 @@ _TOKEN = re.compile(
 _SIMPLE_ESC = {"\\": "\\", '"': '"', "'": "'", "n": "\n", "r": "\r", "t": "\t",
                "b": "\b", "f": "\f"}
 
+_XSD_NS = "http://www.w3.org/2001/XMLSchema#"
+
 
 def _unescape_string(s: str) -> str:
     """SPARQL string-literal escapes: simple (\\n \\r \\t \\" \\\\ ...) and
@@ -120,6 +122,21 @@ class _Parser:
         return t is not None and t.lower() == kw
 
     # ---- terms ----
+    @staticmethod
+    def _is_plain_triple(c) -> bool:
+        """True for a bare triple/quad clause — not a keyword form
+        (':optional', ':bind', ...) and not a FILTER operator application."""
+        from kr_spark.plans.filters import FILTER_OPS
+
+        return (
+            isinstance(c, (list, tuple))
+            and len(c) in (3, 4)
+            and not (
+                isinstance(c[0], str)
+                and (c[0].startswith(":") or c[0] in FILTER_OPS)
+            )
+        )
+
     def _term(self, tok: str):
         """SPARQL token -> engine pattern slot."""
         if tok.startswith("<"):
@@ -239,7 +256,17 @@ class _Parser:
                     self.next()
                     branches.append(self.group())
                 if len(branches) == 1:
-                    clauses.extend(branches[0])
+                    # a lone nested group of PURE triple patterns flattens
+                    # into the parent (Join commutes); anything scoped —
+                    # BIND (its no-rebind rule is per-group), FILTER (sees
+                    # only its group's bindings), OPTIONAL/MINUS/VALUES
+                    # (positional) — must stay a group clause so
+                    # { VALUES ?y {..} { BIND(e AS ?y) } } stays legal
+                    # (round-5 fix; the engine joins groups compatibly)
+                    if all(self._is_plain_triple(c) for c in branches[0]):
+                        clauses.extend(branches[0])
+                    else:
+                        clauses.append(list(branches[0]))
                 else:
                     clauses.append((":union", *branches))
             else:
@@ -569,6 +596,36 @@ class _Parser:
                     out += ([flags[0] if isinstance(flags, list) else flags],)
                 return out
             return (self._FN[low], *args)
+        # grammar [128] iriOrFunction: a prefixed name / IRIREF followed by
+        # '(' is a function call — the XPath constructor casts (§17.5) are
+        # the supported family (xsd:integer(?x), <...XMLSchema#double>(?x));
+        # Jena evaluates these for every kr raw string (sparql.clj:560-603)
+        if (
+            self.peek() == "("
+            and t[0] not in "?$\"<" + "0123456789+-."
+            and not t.startswith("_:")
+            and ":" in t
+        ) or (self.peek() == "(" and t.startswith("<")):
+            iri = self._term(t)
+            if isinstance(iri, str) and iri.startswith("<"):
+                full = iri[1:-1]
+                if full.startswith(_XSD_NS):
+                    local = full[len(_XSD_NS):]
+                    from kr_spark.plans.filters import XSD_CAST_TYPES
+
+                    if local in XSD_CAST_TYPES:
+                        self.eat("(")
+                        arg = self._or_expr()
+                        self.eat(")")
+                        return (":xsd-cast", local, arg)
+                    raise ValueError(
+                        f"unsupported XSD constructor xsd:{local} — "
+                        "supported: " + ", ".join(sorted(XSD_CAST_TYPES))
+                    )
+                raise ValueError(
+                    f"unsupported function IRI <{full}> — only the XPath "
+                    "constructor casts (SPARQL 1.1 §17.5) are supported"
+                )
         return self._term_for_filter(t)
 
     def _term_for_filter(self, tok: str):

@@ -113,7 +113,9 @@ def parse_ntriples_df(spark, lines_df: DataFrame, text_col: str = "value") -> Da
     o_dt = F.nullif(F.regexp_extract("o_raw", r"\^\^<([^>]*)>$", 1), F.lit(""))
     from kr_spark.terms import NUMERIC_DATATYPES
 
-    num = F.when(o_dt.isin(*sorted(NUMERIC_DATATYPES)), o_val.cast("decimal(38,9)"))
+    # try_cast: a malformed numeric lexical form in loaded data must not
+    # raise under ANSI mode — it simply carries no numeric value
+    num = F.when(o_dt.isin(*sorted(NUMERIC_DATATYPES)), o_val.try_cast("decimal(38,9)"))
     out = df.select(
         s_kind.alias("s_kind"),
         s_val.alias("s"),

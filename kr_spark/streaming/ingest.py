@@ -142,15 +142,28 @@ def stream_dedup_exact(doc_stream: DataFrame, watermark: str = "10 minutes") -> 
 
     Scale notes: dropDuplicatesWithinWatermark keeps per-key state only
     until the event-time watermark passes (bounded state), unlike
-    dropDuplicates whose keys accumulate forever; the key is a 64-bit
-    content hash, not the text, so state is ~16 B/doc. Near-dup (MinHash/
-    LSH) stays in the periodic batch compaction — banding needs a corpus-
-    wide bucket join that streaming state cannot express incrementally,
-    same lambda split as connected components."""
-    hashed = doc_stream.withWatermark("ts", watermark).withColumn(
-        "content_hash", F.xxhash64(F.col("text"))
+    dropDuplicates whose keys accumulate forever; the key is a compact
+    content hash, not the text, so state stays small per doc. Near-dup
+    (MinHash/LSH) stays in the periodic batch compaction — banding needs a
+    corpus-wide bucket join that streaming state cannot express
+    incrementally, same lambda split as connected components.
+
+    Key design (ADVICE r4): the hash is md5 over the SAME normalized_text
+    as the batch exact dedup (operators/dedup.py), so the two surfaces
+    agree on what counts as an exact duplicate; and because a streaming
+    collision silently DROPS a distinct document (worse than the batch
+    path, where it only mislabels canonical_id), the key is the 128-bit
+    md5 PLUS the normalized length — collision odds become negligible
+    (~2^-128 per pair, and the lengths must also collide)."""
+    from kr_spark.operators.dedup import normalized_text
+
+    norm = normalized_text(F.col("text"))
+    hashed = (
+        doc_stream.withWatermark("ts", watermark)
+        .withColumn("content_hash", F.md5(norm))
+        .withColumn("content_len", F.length(norm))
     )
-    return hashed.dropDuplicatesWithinWatermark(["content_hash"])
+    return hashed.dropDuplicatesWithinWatermark(["content_hash", "content_len"])
 
 
 def windowed_turn_counts(transcript_stream: DataFrame) -> DataFrame:

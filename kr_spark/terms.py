@@ -91,9 +91,27 @@ class Term:
 
     def num_val(self) -> Decimal | None:
         if self.kind == KIND_LITERAL and self.dt in NUMERIC_DATATYPES:
+            import decimal
+
             try:
-                return Decimal(self.v)
+                d = Decimal(self.v)
             except Exception:
+                return None
+            # INF/-INF/NaN have no decimal value (they live in the double
+            # value space, filters.numeric_dbl) and would not survive the
+            # Python->JVM decimal pickle anyway; likewise a value outside
+            # decimal(38,9) — the engine's exact value space — carries no
+            # decimal value (comparisons fall back to the lexical/double
+            # paths). Quantizing to scale 9 keeps the Python-side value
+            # bit-identical to the stored column.
+            if not d.is_finite():
+                return None
+            try:
+                return d.quantize(
+                    Decimal("1E-9"),
+                    context=decimal.Context(prec=38),
+                )
+            except decimal.InvalidOperation:
                 return None
         return None
 

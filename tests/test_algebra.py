@@ -833,3 +833,87 @@ def test_count_distinct_star(kb):
         PREFIXES + "SELECT (COUNT(*) AS ?c) WHERE { ?s foaf:nick ?n . }"
     )
     assert n == 2  # the kr-emitted count form stays an int-returning COUNT
+
+
+def test_count_distinct_star_ignores_bnode_pattern_vars(kb):
+    # ADVICE r4: COUNT(DISTINCT *) counts the IN-SCOPE solution domain —
+    # two solutions identical on every visible var but matched through
+    # different non-distinguished (blank-node) pattern vars are ONE
+    load_fixture(
+        kb,
+        [
+            ("ex/a", "foaf/name", ["A"]),
+            ("ex/b1", "ex/rel", "ex/a"),
+            ("ex/b2", "ex/rel", "ex/a"),
+        ],
+    )
+    rows = kb.sparql_query(
+        PREFIXES
+        + "SELECT (COUNT(DISTINCT *) AS ?c) WHERE { ?x foaf:name ?n . _:b ex:rel ?x . }"
+    )
+    assert rows[0]["c"].v == "1"
+    # plain COUNT(*) still sees both matches
+    n = kb.sparql(
+        PREFIXES
+        + "SELECT (COUNT(*) AS ?c) WHERE { ?x foaf:name ?n . _:b ex:rel ?x . }"
+    )
+    assert n == 2
+
+
+SUBQ_NULLABILITY_FIXTURE = [
+    ("ex/a", "ex/v", [1, "xsd/integer"]),
+    ("ex/b", "ex/v", [2, "xsd/integer"]),
+    ("ex/c", "ex/v", [3, "xsd/integer"]),
+    ("ex/a", "ex/w", [9, "xsd/integer"]),
+]
+
+
+def test_subquery_bind_alias_is_maybe_null(kb):
+    # ADVICE r4 medium: a subquery-projected BIND alias derived from an
+    # OPTIONAL var can be NULL; the outer INNER join on it must stay a
+    # compatibility join (§18.3 — an unbound var matches anything and the
+    # merge takes the bound side), not a strict equi key that silently
+    # drops the unbound-side rows. The subquery form must answer exactly
+    # like its inlined twin.
+    load_fixture(kb, SUBQ_NULLABILITY_FIXTURE)
+    body = """
+          ?s ex:v ?v . OPTIONAL { ?s ex:w ?w } BIND(?w AS ?y)
+    """
+    # nested group, not bare: BIND to a var already used in the same group
+    # would be a SPARQL syntax error — the group join is the inline twin
+    inline = PREFIXES + """
+        SELECT ?s ?y WHERE {
+          VALUES (?s ?y) { (ex:a 9) (ex:b 7) (ex:c UNDEF) }
+          { %s }
+        }""" % body
+    subq = PREFIXES + """
+        SELECT ?s ?y WHERE {
+          VALUES (?s ?y) { (ex:a 9) (ex:b 7) (ex:c UNDEF) }
+          { SELECT ?s ?y WHERE { %s } }
+        }""" % body
+
+    def shape(rows):
+        return sorted((_ln(b["s"]), b["y"].v if b.get("y") else None) for b in rows)
+
+    got_inline, got_subq = shape(kb.sparql_query(inline)), shape(kb.sparql_query(subq))
+    # a: 9=9 joins; b: subquery ?y unbound, VALUES 7 fills it (compatible);
+    # c: both unbound. A strict equi key on ?y would return only (a,9).
+    assert got_subq == [("a", "9"), ("b", "7"), ("c", None)]
+    assert got_inline == got_subq
+
+
+def test_subquery_values_undef_is_maybe_null(kb):
+    # a VALUES UNDEF cell inside a subquery makes that var maybe-null too
+    load_fixture(kb, SUBQ_NULLABILITY_FIXTURE)
+    rows = kb.sparql_query(
+        PREFIXES + """
+        SELECT ?s ?y WHERE {
+          VALUES (?s ?y) { (ex:a 9) (ex:b 7) (ex:c UNDEF) }
+          { SELECT ?s ?y WHERE {
+              ?s ex:v ?v .
+              VALUES (?s ?y) { (ex:a 9) (ex:b UNDEF) (ex:c UNDEF) }
+          } }
+        }"""
+    )
+    got = sorted((_ln(b["s"]), b["y"].v if b.get("y") else None) for b in rows)
+    assert got == [("a", "9"), ("b", "7"), ("c", None)]

@@ -699,11 +699,12 @@ def test_owl_list_rules_oneof_union_int2(kb):
     assert kb.ask_rdf("ex/abe", "rdf/type", "ex/Parent")
 
 
-def test_owl_delta_exclusions_pinned(kb):
-    # Remaining pinned divergence vs Jena :owl (entailment.py docstring
-    # table): max-cardinality entailments (cls-maxc*) stay excluded — the
-    # fixture shows what Jena would additionally entail (sameAs between the
-    # two fillers under maxCardinality 1) and asserts this engine does not.
+def test_owl_cls_maxc2_entails_sameas(kb):
+    # Round 5: the r3/r4 pinned exclusion flips to a POSITIVE entailment —
+    # cls-maxc2 (maxCardinality 1 -> sameAs between the fillers) is in
+    # OWL_RL_RULES as a pairwise join (entailment.py table). The type must
+    # arrive INDIRECTLY (rdfs9 through the subclass edge) so the rule is
+    # exercised mid-fixpoint, not just on asserted types.
     from kr_spark.operators.entailment import materialize_entailments
 
     kb.add_statements(
@@ -715,8 +716,35 @@ def test_owl_delta_exclusions_pinned(kb):
             ("ex/pat", "rdf/type", "ex/Monogamous"),
             ("ex/pat", "ex/hasSpouse", "ex/chris"),
             ("ex/pat", "ex/hasSpouse", "ex/kim"),
+            # a literal filler never mints sameAs (prp-fp stance)
+            ("ex/pat", "ex/hasSpouse", ["stringy"]),
         ]
     )
     materialize_entailments(kb, "owl")
-    # Jena :owl would entail chris sameAs kim; pinned exclusion here
-    assert not kb.ask_rdf("ex/chris", "owl/sameAs", "ex/kim")
+    assert kb.ask_rdf("ex/chris", "owl/sameAs", "ex/kim")
+    assert kb.ask_rdf("ex/kim", "owl/sameAs", "ex/chris")  # eq-sym closes it
+    assert not kb.query_rdf(None, "owl/sameAs", ["stringy"]).count()
+
+
+def test_owl_delta_exclusions_pinned(kb):
+    # Remaining pinned divergence vs Jena :owl (entailment.py docstring
+    # table): general max-cardinality (>= 2, and qualified cls-maxqc*)
+    # stays excluded — under maxCardinality 2 with three fillers Jena's
+    # complete OWL reasoner could case-split; this engine entails nothing.
+    from kr_spark.operators.entailment import materialize_entailments
+
+    kb.add_statements(
+        [
+            ("ex/R2", "rdf/type", "owl/Restriction"),
+            ("ex/R2", "owl/onProperty", "ex/hasParent"),
+            ("ex/R2", "owl/maxCardinality", [2, "xsd/nonNegativeInteger"]),
+            ("ex/kid", "rdf/type", "ex/R2"),
+            ("ex/kid", "ex/hasParent", "ex/p1"),
+            ("ex/kid", "ex/hasParent", "ex/p2"),
+            ("ex/kid", "ex/hasParent", "ex/p3"),
+        ]
+    )
+    materialize_entailments(kb, "owl")
+    for a in ("p1", "p2", "p3"):
+        for b in ("p1", "p2", "p3"):
+            assert not kb.ask_rdf(f"ex/{a}", "owl/sameAs", f"ex/{b}")

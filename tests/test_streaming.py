@@ -92,7 +92,10 @@ def test_stream_dedup_exact(spark, tmp_path):
              ("d2", "unique text alpha", "2026-01-01 10:00:01"),
              ("d3", "the quick brown fox", "2026-01-01 10:00:02")]
     rows2 = [("d4", "the quick brown fox", "2026-01-01 10:00:03"),
-             ("d5", "unique text beta", "2026-01-01 10:00:04")]
+             ("d5", "unique text beta", "2026-01-01 10:00:04"),
+             # ADVICE r4: streaming and batch dedup share normalized_text —
+             # case/whitespace variants are the SAME exact-dup key
+             ("d6", "  The QUICK  brown fox ", "2026-01-01 10:00:05")]
     for i, rows in enumerate((rows1, rows2)):
         spark.createDataFrame(rows, "doc_id string, text string, ts string").withColumn(
             "ts", F.col("ts").cast("timestamp")
