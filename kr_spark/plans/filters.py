@@ -173,8 +173,12 @@ class _Val:
             return self.struct["kind"]
         present = self.plain.isNotNull()
         if self.num_dbl is not None:
-            # dual numeric: INF/NaN rows hold a value only in the double leg
-            present = present | self.num_dbl.isNotNull()
+            # dual numeric: INF/NaN rows hold a value only in the double
+            # leg, which is authoritative only on float/double ranks
+            present = present | (
+                (F.coalesce(self.rank(), F.lit(1)) >= 2)
+                & self.num_dbl.isNotNull()
+            )
         return F.when(present, F.lit(self.kind or "literal"))
 
     def rank(self) -> Column:
@@ -218,14 +222,18 @@ class _Val:
 
     def numeric_dbl(self) -> Column:
         """IEEE-double value space (XPath float/double ops): the INF/-INF/
-        NaN lexical forms map to their IEEE values; otherwise falls back to
-        the decimal value widened to double, so a mixed-rank expression
-        like (2+3)/0.0e0 still sees its integer-ranked subterm."""
+        NaN lexical forms map to their IEEE values. For a composed numeric
+        result this is the TOTAL double leg — maintained alongside the
+        decimal leg on every row regardless of rank (so a mixed-rank
+        expression like (2+3)/0.0e0 sees its integer subterm's double
+        image); it is AUTHORITATIVE only on float/double-ranked rows, so
+        every consumer guards with rank() >= 2. Returning the stored leg
+        directly (no per-use fallback re-embedding the decimal tree) is
+        what keeps composed expression size LINEAR — a coalesce fallback
+        here made nested arithmetic grow exponentially and blew janino's
+        64 KB method limit (round-5 regression, fixed)."""
         if self.num_dbl is not None:
-            base = self.num_dbl
-            if self.plain is not None:
-                base = F.coalesce(base, self.plain.try_cast("double"))
-            return base
+            return self.num_dbl
         if self.struct is not None:
             v = self.struct["v"]
             return F.when(
@@ -239,11 +247,11 @@ class _Val:
 
     def is_numeric_pred(self) -> Column:
         if self.num_dbl is not None:
-            # an arithmetic result is a numeric value when EITHER space
-            # holds one (INF/NaN rows have only the double)
-            base = self.num_dbl.isNotNull()
+            # a numeric value exists when the exact leg holds one, or the
+            # double leg does on a float/double-ranked row (INF/NaN rows)
+            base = (F.coalesce(self.rank(), F.lit(1)) >= 2) & self.num_dbl.isNotNull()
             if self.plain is not None:
-                base = base | self.plain.isNotNull()
+                base = self.plain.isNotNull() | base
             return base
         if self.struct is not None:
             return self.struct["dt"].isin(*_NUMERIC_LIST)
@@ -443,9 +451,14 @@ def _apply_op(kb, op: str, args, plan_vars: set) -> _Val:
         # var unbound) instead of an ANSI SparkArithmeticException that
         # aborts the whole job — at 100 TB one bad row must never kill the
         # query. The double leg implements XPath op:numeric-divide for
-        # float/double ranks: x/0.0e0 is ±INF, 0.0e0/0.0e0 is NaN (the
-        # divisor==0 branch is explicit because ANSI throws even for
-        # doubles; +,-,* on doubles overflow silently to ±INF per IEEE).
+        # float/double ranks: x/0.0e0 is ±INF via INF*signum(x) (signum(0)
+        # = 0 so 0.0/0.0 = INF*0 = NaN, and a NULL/NaN numerator
+        # propagates), only when the node itself is double-RANKED — an
+        # integer 10/0 stays an error through BOTH legs so it cannot leak
+        # INF into an enclosing double expression. +,-,* on doubles
+        # overflow silently to ±INF per IEEE, no guard needed. Each child
+        # leg is referenced ONCE per parent leg (the tree must stay linear
+        # in the expression size — see numeric_dbl's docstring).
         ld, rd = A[0].numeric(), A[1].numeric()
         lx, rx = A[0].numeric_dbl(), A[1].numeric_dbl()
         dec = {
@@ -454,27 +467,18 @@ def _apply_op(kb, op: str, args, plan_vars: set) -> _Val:
             "+": F.try_add(ld, rd),
             "-": F.try_subtract(ld, rd),
         }[op]
-        if op == "/":
-            dbl = F.when(
-                rx == 0.0,
-                F.when(lx.isNull(), F.lit(None).cast("double"))
-                .when(F.isnan(lx) | (lx == 0.0), F.lit(float("nan")))
-                .when(lx > 0, F.lit(float("inf")))
-                .otherwise(F.lit(float("-inf"))),
-            ).otherwise(F.try_divide(lx, rx))
-        else:
-            dbl = {"*": lx * rx, "+": lx + rx, "-": lx - rx}[op]
         # XPath promotion: result type is the wider operand type; except
         # op:numeric-divide, where integer/integer yields decimal (§17.5)
         rank = F.greatest(A[0].rank(), A[1].rank())
         if op == "/":
             rank = F.greatest(rank, F.lit(1))
-        # the double leg is authoritative only on float/double rows — an
-        # integer 10/0 is an ERROR, not INF, so mask it out there
-        return _Val(
-            plain=dec, is_num=True, num_rank=rank,
-            num_dbl=F.when(rank >= 2, dbl),
-        )
+            dbl = F.when(
+                (rank >= 2) & (rx == 0.0),
+                F.lit(float("inf")) * F.signum(lx),
+            ).otherwise(F.try_divide(lx, rx))
+        else:
+            dbl = {"*": lx * rx, "+": lx + rx, "-": lx - rx}[op]
+        return _Val(plain=dec, is_num=True, num_rank=rank, num_dbl=dbl)
 
     # ---- SPARQL 1.1 §17.4 string builtins ----
     # §17.4.3: SUBSTR/UCASE/LCASE/REPLACE/STRBEFORE/STRAFTER derive the
@@ -564,12 +568,11 @@ def _apply_op(kb, op: str, args, plan_vars: set) -> _Val:
     # ---- numeric builtins ----
     # abs/round/ceil/floor return their argument's numeric type (XPath)
     if op == ":abs":
-        rank = A[0].rank()
         return _Val(
-            plain=F.abs(A[0].numeric()), is_num=True, num_rank=rank,
-            # ABS(INF) = INF / ABS(NaN) = NaN on float/double rows
-            num_dbl=F.when(F.coalesce(rank, F.lit(1)) >= 2,
-                           F.abs(A[0].numeric_dbl())),
+            plain=F.abs(A[0].numeric()), is_num=True, num_rank=A[0].rank(),
+            # ABS(INF) = INF / ABS(NaN) = NaN; unmasked total double leg
+            # (consumers guard by rank — keeps composed trees linear)
+            num_dbl=F.abs(A[0].numeric_dbl()),
         )
     if op == ":round":
         # SPARQL ROUND = XPath fn:round: half rounds toward +inf
@@ -773,6 +776,22 @@ def _mk_term(kind: Column, v: Column, lang: Column | None = None, dt: Column | N
     )
 
 
+def _let(col: Column, fn) -> Column:
+    """Bind `col` once and reference it many times inside `fn` without
+    duplicating its expression tree — a poor-man's `let` via a 1-element
+    higher-order `transform`. Catalyst has no sharing primitive and
+    whole-stage-codegen subexpression elimination deliberately skips
+    conditionally-evaluated (CASE WHEN) branches, so a compiled operand
+    referenced from several branches is otherwise re-rendered per branch;
+    for cast/lexical nodes that fan a child out 10-15x this is what blew
+    janino's 64 KB method limit (round-5 regression). The lambda variable
+    is evaluated once per row; the enclosing Project drops out of
+    whole-stage codegen (HOFs are CodegenFallback), which is the same
+    execution mode the janino overflow was already forcing — but scoped to
+    the one projection instead of poisoning the fused stage."""
+    return F.get(F.transform(F.array(col), fn), 0)
+
+
 def _as_struct(v: _Val) -> Column:
     """Coerce a compiled operand to a term struct (for IF/COALESCE whose
     branches must agree on type)."""
@@ -785,7 +804,6 @@ def _as_struct(v: _Val) -> Column:
             _mk_term(F.lit("literal"), lex, dt=F.lit(_XSD + "boolean")),
         )
     if v.is_num:
-        lex = _num_lex(v)
         # stamp the promoted datatype (rank 0-3); lexical form is the
         # trimmed decimal rendering (plus INF/-INF/NaN on float/double rows)
         dt = F.element_at(
@@ -797,9 +815,12 @@ def _as_struct(v: _Val) -> Column:
             ),
             F.coalesce(v.rank(), F.lit(1)) + 1,
         )
-        return F.when(
-            lex.isNotNull(),
-            _mk_term(F.lit("literal"), lex, dt=dt),
+        # _let: lex is referenced twice (guard + payload) — bind it once
+        return _let(
+            _num_lex(v),
+            lambda lex: F.when(
+                lex.isNotNull(), _mk_term(F.lit("literal"), lex, dt=dt)
+            ),
         )
     s = v.plain.cast("string")
     return F.when(s.isNotNull(), _mk_term(F.lit(v.kind or "literal"), s))
@@ -833,14 +854,17 @@ def _xsd_cast(typ: str, v: _Val) -> _Val:
     kind = v.term_kind()
     s = v.string()
     if typ == "string":
+        # _let: the source string feeds guard + payload — bind it once
         return _Val(
-            struct=F.when(
-                kind.isin("uri", "literal") & s.isNotNull(),
-                _mk_term(F.lit("literal"), s, dt=F.lit(_XSD + "string")),
+            struct=_let(
+                F.struct(kind.alias("k"), s.alias("s")),
+                lambda p: F.when(
+                    p["k"].isin("uri", "literal") & p["s"].isNotNull(),
+                    _mk_term(F.lit("literal"), p["s"], dt=F.lit(_XSD + "string")),
+                ),
             )
         )
 
-    is_lit = kind == "literal"
     # source boolean: a typed xsd:boolean term, or a composed boolean result
     if v.is_bool:
         bool_src, bool_val = F.lit(True), v.plain
@@ -851,72 +875,114 @@ def _xsd_cast(typ: str, v: _Val) -> _Val:
         )
     else:
         bool_src, bool_val = F.lit(False), F.lit(None).cast("boolean")
-    is_num = v.is_numeric_pred()
-    num = v.numeric()
-    dbl = v.numeric_dbl()
+
+    # _let: every branch below fans the source getters out across several
+    # CASE arms; each packed field renders the upstream tree exactly once
+    # (the 10-15x fan-out here is what blew janino's 64 KB method limit)
+    packed = F.struct(
+        kind.alias("k"),
+        s.alias("s"),
+        bool_src.alias("bs"),
+        bool_val.alias("bv"),
+        v.is_numeric_pred().alias("isn"),
+        v.numeric().alias("n"),
+        v.numeric_dbl().alias("d"),
+    )
+
+    def _bool01(p: Column) -> Column:
+        # numeric image of a boolean; a malformed lexical stays NULL (error)
+        return (
+            F.when(p["bv"], F.lit(1)).when(~p["bv"], F.lit(0))
+            .cast("decimal(38,9)")
+        )
 
     if typ == "boolean":
-        b = (
-            F.when(bool_src, bool_val)
-            .when(is_num, ~(F.isnan(F.coalesce(dbl, F.lit(0.0))) | (F.coalesce(dbl, num.cast("double")) == 0.0)))
-            .otherwise(
-                F.when(s.isin("true", "1"), F.lit(True)).when(
-                    s.isin("false", "0"), F.lit(False)
+
+        def _b(p: Column) -> Column:
+            b = (
+                F.when(p["bs"], p["bv"])
+                .when(
+                    p["isn"],
+                    ~(
+                        F.isnan(F.coalesce(p["d"], F.lit(0.0)))
+                        | (F.coalesce(p["d"], p["n"].cast("double")) == 0.0)
+                    ),
+                )
+                .otherwise(
+                    F.when(p["s"].isin("true", "1"), F.lit(True)).when(
+                        p["s"].isin("false", "0"), F.lit(False)
+                    )
                 )
             )
-        )
-        return _Val(plain=F.when(is_lit, b), is_bool=True)
+            return F.when(p["k"] == "literal", b)
+
+        return _Val(plain=_let(packed, _b), is_bool=True)
 
     if typ == "dateTime":
-        lex = F.when(s.rlike(_DATETIME_LEX), s)
-        return _Val(
-            struct=F.when(
-                is_lit & lex.isNotNull(),
+
+        def _dtm(p: Column) -> Column:
+            lex = F.when(p["s"].rlike(_DATETIME_LEX), p["s"])
+            return F.when(
+                (p["k"] == "literal") & lex.isNotNull(),
                 _mk_term(F.lit("literal"), lex, dt=F.lit(_XSD + "dateTime")),
             )
-        )
 
-    # numeric targets; a malformed boolean lexical stays NULL (error)
-    bool01 = (
-        F.when(bool_val, F.lit(1)).when(~bool_val, F.lit(0)).cast("decimal(38,9)")
-    )
+        return _Val(struct=_let(packed, _dtm))
+
     if typ == "integer":
-        trunc = F.when(num >= 0, F.floor(num)).otherwise(F.ceil(num)).try_cast(
-            "decimal(38,9)"
-        )
-        val = (
-            F.when(bool_src, bool01)
-            .when(is_num, trunc)  # INF/NaN rows: num NULL -> error, per XPath
-            .otherwise(
-                F.when(s.rlike(r"^[+-]?[0-9]+$"), s.try_cast("decimal(38,9)"))
+
+        def _int(p: Column) -> Column:
+            n = p["n"]
+            trunc = (
+                F.when(n >= 0, F.floor(n)).otherwise(F.ceil(n))
+                .try_cast("decimal(38,9)")
             )
-        )
-        return _Val(plain=F.when(is_lit, val), is_num=True, num_rank=F.lit(0))
-    if typ == "decimal":
-        val = (
-            F.when(bool_src, bool01)
-            .when(is_num, num)
-            .otherwise(
-                F.when(
-                    s.rlike(r"^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)$"),
-                    s.try_cast("decimal(38,9)"),
+            val = (
+                F.when(p["bs"], _bool01(p))
+                .when(p["isn"], trunc)  # INF/NaN rows: n NULL -> error (XPath)
+                .otherwise(
+                    F.when(
+                        p["s"].rlike(r"^[+-]?[0-9]+$"),
+                        p["s"].try_cast("decimal(38,9)"),
+                    )
                 )
             )
-        )
-        return _Val(plain=F.when(is_lit, val), is_num=True, num_rank=F.lit(1))
+            return F.when(p["k"] == "literal", val)
+
+        return _Val(plain=_let(packed, _int), is_num=True, num_rank=F.lit(0))
+    if typ == "decimal":
+
+        def _dec(p: Column) -> Column:
+            val = (
+                F.when(p["bs"], _bool01(p))
+                .when(p["isn"], p["n"])
+                .otherwise(
+                    F.when(
+                        p["s"].rlike(r"^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)$"),
+                        p["s"].try_cast("decimal(38,9)"),
+                    )
+                )
+            )
+            return F.when(p["k"] == "literal", val)
+
+        return _Val(plain=_let(packed, _dec), is_num=True, num_rank=F.lit(1))
     # float / double: IEEE space — INF/-INF/NaN lexical forms are values
     rank = 2 if typ == "float" else 3
-    d = (
-        F.when(bool_src, bool01.cast("double"))
-        .when(is_num, dbl)
-        .otherwise(
-            F.when(s == "INF", F.lit(float("inf")))
-            .when(s == "-INF", F.lit(float("-inf")))
-            .when(s == "NaN", F.lit(float("nan")))
-            .otherwise(s.try_cast("double"))
+
+    def _dbl(p: Column) -> Column:
+        d = (
+            F.when(p["bs"], _bool01(p).cast("double"))
+            .when(p["isn"], p["d"])
+            .otherwise(
+                F.when(p["s"] == "INF", F.lit(float("inf")))
+                .when(p["s"] == "-INF", F.lit(float("-inf")))
+                .when(p["s"] == "NaN", F.lit(float("nan")))
+                .otherwise(p["s"].try_cast("double"))
+            )
         )
-    )
-    d = F.when(is_lit, d)
+        return F.when(p["k"] == "literal", d)
+
+    d = _let(packed, _dbl)
     return _Val(
         plain=d.try_cast("decimal(38,9)"),
         is_num=True,
@@ -939,11 +1005,26 @@ def _num_lex(v: _Val) -> Column:
         if v.plain is not None
         else F.lit(None).cast("decimal(38,9)")
     )
-    lex = F.when(num.isNotNull(), _trim_decimal(num))
-    if v.num_dbl is not None:
-        d = v.num_dbl
-        lex = lex.when(
-            d.isNotNull(),
+    if v.num_dbl is None:
+        # _let: num feeds the guard + _trim_decimal's chain — bind once
+        return _let(num, lambda n: F.when(n.isNotNull(), _trim_decimal(n)))
+
+    # the double leg renders only on float/double-ranked rows (it is
+    # total but non-authoritative elsewhere — an integer overflow row
+    # must stay an error, not print an E-notation integer). _let over a
+    # packed struct: num/dbl/rank are each referenced from several CASE
+    # branches; without the binding each branch re-embeds the whole
+    # upstream expression tree (janino 64 KB overflow, round 5).
+    packed = F.struct(
+        num.alias("n"),
+        v.num_dbl.alias("d"),
+        F.coalesce(v.rank(), F.lit(1)).alias("rk"),
+    )
+
+    def _render(p: Column) -> Column:
+        n, d = p["n"], p["d"]
+        return F.when(n.isNotNull(), _trim_decimal(n)).when(
+            (p["rk"] >= 2) & d.isNotNull(),
             F.when(F.isnan(d), F.lit("NaN"))
             .when(d == F.lit(float("inf")), F.lit("INF"))
             .when(d == F.lit(float("-inf")), F.lit("-INF"))
@@ -953,7 +1034,8 @@ def _num_lex(v: _Val) -> Column:
                 )
             ),
         )
-    return lex
+
+    return _let(packed, _render)
 
 
 def _const_str(kb, x) -> str:

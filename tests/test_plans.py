@@ -208,3 +208,40 @@ def test_stats_driven_join_order(kb):
     b = {tuple(sorted((k, repr(v)) for k, v in r.items())) for r in kb.query(pattern)}
     kb._pred_stats = None
     assert a == b and len(a) == 1
+
+
+def test_cast_arith_bind_chain_stays_under_codegen_limit(ekb):
+    # the q_filter_numeric shape: XPath constructor cast feeding a chain of
+    # arithmetic BINDs with dual (decimal+double) legs. Every CASE branch
+    # used to re-render its operand subtree (codegen subexpression
+    # elimination skips conditional branches), blowing janino's 64 KB
+    # method limit -> whole-stage interpreted fallback (round-5
+    # regression). The _let binding in filters.py caps tree growth; the
+    # spans that stay in codegen must all COMPILE (maxMethodCodeSize:-1 in
+    # the codegen explain marks a failed subtree).
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from kr_spark.entry_queries import CUST
+
+    plan = ekb.plan(
+        [
+            ("?/c", "rel/acctbal", "?/bal"),
+            ("?/c", "rdf/type", "ty/Customer"),
+            (":bind",
+             (":xsd-cast", "integer", (":strafter", (":str", "?/c"), [CUST])),
+             "?/key"),
+            (":bind", ("-", "?/key", ("*", 7, (":floor", ("/", "?/key", 7)))),
+             "?/m"),
+            (":bind", ("/", 1000, "?/m"), "?/inv"),
+            (":bind", (":xsd-cast", "double", ("/", "?/inv", "?/key")), "?/r"),
+        ]
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        plan.df.explain("codegen")
+    out = buf.getvalue()
+    sizes = [int(s) for s in re.findall(r"maxMethodCodeSize:(-?\d+)", out)]
+    assert sizes, "no codegen subtrees found"
+    assert all(0 < s < 65536 for s in sizes), f"codegen failed/overflowed: {sizes}"
