@@ -126,8 +126,10 @@ class _HealthSampler:
     a pre-leg gate alone can bless a leg that degraded halfway through.
     One extra process at ~10 s cadence doing 0.2 Mops of hashing steals a
     negligible slice of a 32-core box and is identical tax on both legs.
-    A leg is valid when its minimum mid-leg rate stays within 15% of the
-    pre-leg gate's single-thread reading; invalid legs are re-run."""
+    NOTE: the absolute level of these samples is depressed ~60% by the
+    co-running Spark JVM itself (GC/service-thread contention on this
+    virtualized box), so validity uses the mid-leg min/median RATIO (cliff
+    detector) plus idle pre/post probes — see `_timed_leg`."""
 
     def __init__(self, cadence_s: float = 10.0, iters: int = 200_000):
         from multiprocessing import Event, Process, Queue
@@ -395,12 +397,21 @@ def main() -> None:
         legs: list[dict] = []
 
         def _timed_leg(tag: str, cpus: int, attempts: int = 3):
-            """One gated+sampled measurement; re-runs legs whose MID-leg
-            md5 rate drops >15% below the pre-leg gate reading (host drift
-            hit mid-measurement — VERDICT r4 #3: validity is now mechanical,
-            not a post-hoc judgment call). Returns the best VALID attempt,
-            or the best invalid one flagged valid=false if drift never
-            relents within the attempt budget."""
+            """One gated+sampled measurement (VERDICT r4 #3 — mechanical
+            leg validity, no post-hoc judgment calls). Calibration on this
+            box showed the sidecar's single-thread md5 rate reads ~60%
+            LOWER while a Spark JVM is merely RUNNING (GC + netty/service
+            threads contend for the same vCPU even with 30 cores idle), so
+            comparing mid-leg samples against the IDLE pre-leg reading
+            invalidates every leg by construction. A leg is valid when:
+              (a) the idle POST-leg probe stays within 15% of the idle
+                  pre-leg probe — absolute host drift across the leg; and
+              (b) no mid-leg cliff: min(samples) >= 0.6*median(samples) —
+                  a transient capacity dip that recovered before the post
+                  probe. Spark's own steady interference cancels in the
+                  ratio because it hits min and median alike.
+            Invalid legs re-run; if drift never relents the best invalid
+            attempt is returned flagged valid=false."""
             fallback = None
             for attempt in range(attempts):
                 _wait_quiesce()
@@ -416,10 +427,16 @@ def main() -> None:
                 )
                 samples = sampler.finish()
                 spark.stop()
-                min_mid = min((m for _, m in samples), default=None)
+                _wait_quiesce()
+                post = _host_health()
+                health[f"{tag}_attempt{attempt}_post"] = post
+                mids = sorted(m for _, m in samples)
+                min_mid = mids[0] if mids else None
+                med_mid = mids[len(mids) // 2] if mids else None
                 valid = (
-                    min_mid is not None
-                    and min_mid >= 0.85 * pre["md5_mops_single"]
+                    post["md5_mops_single"] >= 0.85 * pre["md5_mops_single"]
+                    and min_mid is not None
+                    and min_mid >= 0.6 * med_mid
                 )
                 leg = {
                     "tag": tag,
@@ -428,7 +445,9 @@ def main() -> None:
                     "wall_s": round(dt, 3),
                     "valid": valid,
                     "pre_leg_single_mops": pre["md5_mops_single"],
+                    "post_leg_single_mops": post["md5_mops_single"],
                     "mid_leg_min_mops": min_mid,
+                    "mid_leg_median_mops": med_mid,
                     "mid_leg_samples": samples,
                 }
                 legs.append(leg)
@@ -436,9 +455,10 @@ def main() -> None:
                     return dt, n_turns, n_triples, True
                 fallback = (dt, n_turns, n_triples, False)
                 print(
-                    f"# leg {tag} attempt {attempt} invalid: mid-leg "
-                    f"{min_mid} Mops vs pre-leg {pre['md5_mops_single']} "
-                    "— re-running",
+                    f"# leg {tag} attempt {attempt} invalid: post-leg "
+                    f"{post['md5_mops_single']} vs pre-leg "
+                    f"{pre['md5_mops_single']} Mops, mid-leg min/median "
+                    f"{min_mid}/{med_mid} — re-running",
                     file=sys.stderr,
                 )
             return fallback
