@@ -30,6 +30,7 @@ FILTER_OPS = frozenset(
         ":or",
         ":and",
         ":not",
+        ":ebv",
         "!",
         "=",
         "!=",
@@ -261,10 +262,52 @@ class _Val:
         assert self.is_bool, "expected boolean expression"
         return self.plain
 
+    def ebv(self) -> Column:
+        """§17.2.2 effective boolean value. Boolean results pass through
+        (3VL NULL = expression error). Terms coerce per spec: xsd:boolean
+        by value (INVALID lexical -> false, rule 1); numeric by value != 0
+        (NaN and invalid lexical -> false, INF -> true); plain / xsd:string
+        / lang-tagged by non-emptiness; everything else (IRI, bnode,
+        unknown datatype, unbound) is a type error -> NULL, so FILTER drops
+        the row and !/&&/|| propagate the error per §17.2's truth table
+        (Spark's 3VL NULL semantics coincide exactly)."""
+        if self.is_bool:
+            return self.plain
+        if self.struct is not None:
+            s = self.struct
+            v, dt = s["v"], s["dt"]
+            d = (
+                F.when(v == "INF", F.lit(float("inf")))
+                .when(v == "-INF", F.lit(float("-inf")))
+                .when(v == "NaN", F.lit(float("nan")))
+                .otherwise(v.try_cast("double"))
+            )
+            return (
+                F.when(s["kind"] != "literal", F.lit(None).cast("boolean"))
+                .when(dt == _XSD + "boolean", v.isin("true", "1"))
+                .when(
+                    dt.isin(*_NUMERIC_LIST),
+                    F.when(d.isNull() | F.isnan(d), F.lit(False)).otherwise(
+                        d != 0.0
+                    ),
+                )
+                .when((dt == "") | (dt == _XSD + "string"), F.length(v) > 0)
+            )
+        if self.is_num:
+            d = self.numeric_dbl()
+            use_dbl = F.coalesce(self.rank(), F.lit(1)) >= 2
+            ebv_d = F.when(F.isnan(d), F.lit(False)).otherwise(d != 0.0)
+            return F.when(use_dbl, ebv_d).otherwise(self.numeric() != 0)
+        if self.kind == "uri":
+            return F.lit(None).cast("boolean")
+        return F.length(self.plain) > 0
+
 
 def compile_filter_expr(kb, expr, df, plan_vars: set) -> Column:
+    # FILTER takes the expression's EFFECTIVE boolean value (§17.2.2) —
+    # FILTER(?x) / FILTER(STR(?s)) coerce; a type error (NULL) drops the row
     v = _compile(kb, expr, plan_vars)
-    return v.boolean()
+    return v.ebv()
 
 
 _XSD = "http://www.w3.org/2001/XMLSchema#"
@@ -374,17 +417,21 @@ def _apply_op(kb, op: str, args, plan_vars: set) -> _Val:
             .otherwise(F.lit(_XSD + "string")),
         )
         return _Val(plain=dt, kind="uri")
+    if op == ":ebv":
+        # explicit EBV coercion — the parser wraps a bare-term FILTER
+        # (FILTER(?x), FILTER("abc"), FILTER(true)) in this op
+        return _Val(plain=A[0].ebv(), is_bool=True)
     if op in (":not", "!"):
-        return _Val(plain=~A[0].boolean(), is_bool=True)
+        return _Val(plain=~A[0].ebv(), is_bool=True)
     if op == ":and":
-        c = A[0].boolean()
+        c = A[0].ebv()
         for a in A[1:]:
-            c = c & a.boolean()
+            c = c & a.ebv()
         return _Val(plain=c, is_bool=True)
     if op == ":or":
-        c = A[0].boolean()
+        c = A[0].ebv()
         for a in A[1:]:
-            c = c | a.boolean()
+            c = c | a.ebv()
         return _Val(plain=c, is_bool=True)
     if op == ":sameTerm":
         return _Val(plain=_term_eq(A[0], A[1]), is_bool=True)
@@ -601,9 +648,12 @@ def _apply_op(kb, op: str, args, plan_vars: set) -> _Val:
 
     # ---- functional forms / term constructors ----
     if op == ":if":
-        cond = A[0].boolean()
+        # §17.4.1.2: the condition is EBV-coerced, and an ERROR condition
+        # is an error result (neither branch) — hence when/when, not
+        # when/otherwise, so a NULL condition yields a NULL term
+        cond = A[0].ebv()
         t, e = _as_struct(A[1]), _as_struct(A[2])
-        return _Val(struct=F.when(cond, t).otherwise(e))
+        return _Val(struct=F.when(cond, t).when(~cond, e))
     if op == ":coalesce":
         return _Val(struct=F.coalesce(*[_as_struct(a) for a in A]))
     if op in (":iri", ":uri"):

@@ -104,6 +104,10 @@ def _emit_filter_expr(kb, e) -> str:
     if not isinstance(e, (list, tuple)) or _is_boxed_literal(e):
         return emit_term(kb, e)
     op = e[0]
+    if op == ":ebv":
+        # implicit EBV wrapper over a bare-term FILTER — emit the term;
+        # parsing the emitted string re-wraps it
+        return _emit_filter_expr(kb, e[1])
     if op in (":not", "!"):
         return "(!" + _emit_filter_expr(kb, e[1]) + ")"
     if op == ":and":

@@ -174,6 +174,9 @@ class _Parser:
             return f"<{base}{local}>"
         if tok.lower() == "a":
             return "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+        if tok.lower() in ("true", "false"):
+            # BooleanLiteral (grammar [134]; keywords are case-insensitive)
+            return [tok.lower(), "<http://www.w3.org/2001/XMLSchema#boolean>"]
         raise ValueError(f"cannot parse term {tok!r}")
 
     # ---- group graph pattern ----
@@ -226,6 +229,19 @@ class _Parser:
                         and e[1][0] == ":exists-expr"
                     ):
                         e = (":not-exists", *e[1][1])
+                    else:
+                        from kr_spark.plans.filters import FILTER_OPS
+
+                        if not (
+                            isinstance(e, tuple)
+                            and e
+                            and isinstance(e[0], str)
+                            and e[0] in FILTER_OPS
+                        ):
+                            # bare-term FILTER (a var, literal, or boolean
+                            # constant): the filter value is the term's
+                            # EFFECTIVE boolean value (§17.2.2)
+                            e = (":ebv", e)
                     clauses.append(e)
             elif self.at_kw("graph"):
                 self.next()

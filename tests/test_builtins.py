@@ -491,3 +491,83 @@ def test_dot_after_group_braces(kb):
               OPTIONAL { ?x foaf:age ?a } . FILTER(BOUND(?a)) }"""
     )
     assert len(rows) == 2
+
+
+# ---- §17.2.2 effective boolean value (round 5) ----
+
+EBV_TRIPLES = [
+    ("ex/a", "ex/val", ["Alice"]),                 # non-empty string -> true
+    ("ex/b", "ex/val", [""]),                      # empty string -> false
+    ("ex/c", "ex/val", [0, "xsd/integer"]),        # zero -> false
+    ("ex/d", "ex/val", [5, "xsd/integer"]),        # nonzero -> true
+    ("ex/e", "ex/val", ["xyz", "xsd/integer"]),    # ill-formed numeric -> false (rule 1)
+    ("ex/f", "ex/val", "ex/iri-object"),           # IRI -> type error
+    ("ex/g", "ex/val", [True, "xsd/boolean"]),     # true -> true
+    ("ex/h", "ex/val", ["maybe", "xsd/boolean"]),  # ill-formed boolean -> false (rule 1)
+]
+
+EBV_Q = (
+    PREFIXES
+    + "SELECT ?s WHERE { ?s ex:val ?v FILTER(%s) } ORDER BY ?s"
+)
+
+
+def _ebv_ids(kb, fexpr):
+    rows = kb.sparql_query(EBV_Q % fexpr)
+    return sorted(r["s"].v.rsplit("/", 1)[-1] for r in rows)
+
+
+def test_ebv_bare_variable(kb):
+    # FILTER(?v): EBV per §17.2.2 — a type error (IRI operand) drops the row
+    load_fixture(kb, EBV_TRIPLES)
+    assert _ebv_ids(kb, "?v") == ["a", "d", "g"]
+
+
+def test_ebv_negation_propagates_error(kb):
+    # !error is still error (§17.2 truth table): ex/f stays excluded
+    load_fixture(kb, EBV_TRIPLES)
+    assert _ebv_ids(kb, "!?v") == ["b", "c", "e", "h"]
+
+
+def test_ebv_boolean_literals_and_or(kb):
+    load_fixture(kb, EBV_TRIPLES)
+    # (error && true) = error -> dropped; bare true parses (grammar [134])
+    assert _ebv_ids(kb, "?v && true") == ["a", "d", "g"]
+    # (error || true) = true -> ex/f is KEPT
+    assert _ebv_ids(kb, "?v || true") == list("abcdefgh")
+    assert _ebv_ids(kb, "false") == []
+
+
+def test_ebv_builtin_result_coerces(kb):
+    # FILTER(STR(?s)) — a non-empty simple-literal result is true
+    load_fixture(kb, EBV_TRIPLES)
+    assert _ebv_ids(kb, "STR(?s)") == list("abcdefgh")
+    # FILTER(LANG(?v)): "" on every plain/typed literal -> false; IRI -> error
+    assert _ebv_ids(kb, "LANG(?v)") == []
+
+
+def test_if_error_condition_is_error(kb):
+    # §17.4.1.2: IF(error, t, e) is an error -> the BIND var stays unbound
+    load_fixture(kb, EBV_TRIPLES)
+    rows = kb.sparql_query(
+        PREFIXES
+        + 'SELECT ?s ?r WHERE { ?s ex:val ?v BIND(IF(?v, "T", "F") AS ?r) } ORDER BY ?s'
+    )
+    got = {r["s"].v.rsplit("/", 1)[-1]: (r["r"].v if "r" in r else None) for r in rows}
+    assert got == {
+        "a": "T", "b": "F", "c": "F", "d": "T",
+        "e": "F", "f": None, "g": "T", "h": "F",
+    }
+
+
+def test_ebv_emitter_roundtrip(kb):
+    # parse -> emit -> parse is stable for a bare-term FILTER
+    from kr_spark.plans.sparql_emit import emit_select
+    from kr_spark.plans.sparql_parser import parse_sparql
+
+    load_fixture(kb, EBV_TRIPLES)
+    q = PREFIXES + "SELECT ?s WHERE { ?s ex:val ?v FILTER(?v) }"
+    p = parse_sparql(kb, q)
+    text = emit_select(kb, p["pattern"], select_vars=["?/s"])
+    rows = kb.sparql_query(text)
+    assert sorted(r["s"].v.rsplit("/", 1)[-1] for r in rows) == ["a", "d", "g"]
