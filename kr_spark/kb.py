@@ -362,7 +362,7 @@ class KB:
         (SPARQL 1.1 §15.1; ties broken by full struct for determinism).
         A ref may also be a filter/BIND s-expression (ORDER BY STRLEN(?x))
         — compiled to a term struct and keyed the same way."""
-        from kr_spark.plans.filters import compile_value_expr
+        from kr_spark.plans.filters import _DT_DATETIME_FAMILY, compile_value_expr
         from kr_spark.terms import NUMERIC_DATATYPES
 
         out = []
@@ -379,6 +379,13 @@ class KB:
                     c["dt"].isin(*sorted(NUMERIC_DATATYPES)),
                     c["v"].try_cast("decimal(38,9)"),
                 ).alias("num"),
+                # dateTime family orders as instants (op:dateTime-less-than
+                # normalizes offsets), not lexical forms — "…T03:00-05:00"
+                # ties with "…T08:00Z"; uncastables fall through to lex
+                F.when(
+                    c["dt"].isin(*_DT_DATETIME_FAMILY),
+                    c["v"].try_cast("timestamp"),
+                ).alias("instant"),
                 c["v"].alias("lex"),
                 c.alias("term"),
             )
@@ -463,9 +470,17 @@ class KB:
             return F.when(c["dt"].isin(*num_list), c["v"].try_cast("decimal(38,9)"))
 
         def _ordkey(name: str):
+            from kr_spark.plans.filters import _DT_DATETIME_FAMILY
+
             c = F.col(name)
+            # same §15.1-style key as _order_cols: numerics by value, the
+            # dateTime family as instants (MIN/MAX use the `<` ordering, so
+            # "…T23:30+10:00" must lose to a later "…T14:00Z"), else lexical
+            instant = F.when(
+                c["dt"].isin(*_DT_DATETIME_FAMILY), c["v"].try_cast("timestamp")
+            )
             return F.struct(
-                (~c["dt"].isin(*num_list)).cast("int"), _num(name), c["v"]
+                (~c["dt"].isin(*num_list)).cast("int"), _num(name), instant, c["v"]
             )
 
         agg_exprs = []

@@ -447,9 +447,7 @@ def _apply_op(kb, op: str, args, plan_vars: set) -> _Val:
         text = A[0].string()
         pat = _const_str(kb, args[1])
         flags = _const_str(kb, args[2]) if len(args) > 2 else ""
-        if "i" in flags:
-            pat = "(?i)" + pat
-        return _Val(plain=text.rlike(pat), is_bool=True)
+        return _Val(plain=text.rlike(_apply_regex_flags(pat, flags)), is_bool=True)
 
     if op in ("=", "!="):
         eq = _value_eq(A[0], A[1])
@@ -480,9 +478,43 @@ def _apply_op(kb, op: str, args, plan_vars: set) -> _Val:
         cmpd = {"<": lx < rx, ">": lx > rx, "<=": lx <= rx, ">=": lx >= rx}[op]
         cmpd = F.when(F.isnan(lx) | F.isnan(rx), F.lit(False)).otherwise(cmpd)
         cmps = {"<": ls < rs, ">": ls > rs, "<=": ls <= rs, ">=": ls >= rs}[op]
+        if l.struct is None or r.struct is None:
+            # composed builtin results are simple literals — fn:compare
+            oth = cmps
+        else:
+            # §17.3: ordering is defined only WITHIN a literal family —
+            # strings by codepoint, booleans by value (false < true, an
+            # ill-formed lexical is an error), the dateTime family as
+            # instants (offset-normalizing timestamp cast; offset-free
+            # xsd:time doesn't cast, so zero-padded lexical compare —
+            # value-correct for hh:mm:ss[.fff] — gated on lexical
+            # validity so garbage stays a per-row error).
+            # IRI < IRI, bnodes, cross-family and unknown-datatype pairs
+            # are per-row type errors (NULL -> FILTER drops the row).
+            fl, fr = _cmp_family(l.struct), _cmp_family(r.struct)
+            bl = l.struct["v"].isin("true", "1").cast("int")
+            br = r.struct["v"].isin("true", "1").cast("int")
+            bok = l.struct["v"].isin(*_BOOL_VALID) & r.struct["v"].isin(*_BOOL_VALID)
+            cmpb = {"<": bl < br, ">": bl > br, "<=": bl <= br, ">=": bl >= br}[op]
+            tl = l.struct["v"].try_cast("timestamp")
+            tr = r.struct["v"].try_cast("timestamp")
+            cmpt = {"<": tl < tr, ">": tl > tr, "<=": tl <= tr, ">=": tl >= tr}[op]
+            time_ok = l.struct["v"].rlike(_TIME_LEX) & r.struct["v"].rlike(
+                _TIME_LEX
+            )
+            oth = (
+                F.when((fl == "s") & (fr == "s"), cmps)
+                .when((fl == "b") & (fr == "b"), F.when(bok, cmpb))
+                .when(
+                    (fl == "d") & (fr == "d"),
+                    F.when(tl.isNotNull() & tr.isNotNull(), cmpt).when(
+                        time_ok, cmps
+                    ),
+                )
+            )
         return _Val(
             plain=F.when(both_num, F.when(use_dbl, cmpd).otherwise(cmpn)).otherwise(
-                cmps
+                oth
             ),
             is_bool=True,
         )
@@ -579,11 +611,8 @@ def _apply_op(kb, op: str, args, plan_vars: set) -> _Val:
                           _mk_term(F.lit("literal"), c, lang=lang, dt=dt))
         )
     if op == ":replace":
-        pat = _const_str(kb, args[1])
+        pat = _apply_regex_flags(_const_str(kb, args[1]), _const_str(kb, args[3]) if len(args) > 3 else "")
         repl = _const_str(kb, args[2])
-        flags = _const_str(kb, args[3]) if len(args) > 3 else ""
-        if "i" in flags:
-            pat = "(?i)" + pat
         return _str_result(F.regexp_replace(A[0].string(), pat, repl), A[0])
     if op in (":strbefore", ":strafter"):
         s, sub = A[0].string(), A[1].string()
@@ -1088,10 +1117,46 @@ def _num_lex(v: _Val) -> Column:
     return _let(packed, _render)
 
 
+def _apply_regex_flags(pat: str, flags: str) -> str:
+    """XPath fn:matches/fn:replace flags (§17.4.3.14): s/m/i/x map to the
+    same-lettered Java embedded flags; q treats the pattern as a literal
+    string (\\Q..\\E quoting, applied before the others per XQuery F&O)."""
+    if "q" in flags:
+        pat = "\\Q" + pat.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+    embed = "".join(c for c in "smix" if c in flags)
+    if embed:
+        pat = f"(?{embed})" + pat
+    return pat
+
+
 def _const_str(kb, x) -> str:
     if isinstance(x, (list, tuple)):
         return str(x[0])
     return str(x)
+
+
+_DT_DATETIME_FAMILY = (_XSD + "dateTime", _XSD + "date", _XSD + "time")
+_BOOL_VALID = ("true", "false", "1", "0")
+# offset-free xsd:time lexical space — the one dateTime-family shape the
+# timestamp cast can't absorb but zero-padded lexical order is value-exact
+_TIME_LEX = r"^([01][0-9]|2[0-3]):[0-5][0-9]:[0-5][0-9](\.[0-9]+)?$"
+
+
+def _cmp_family(s: Column) -> Column:
+    """Comparison family of a literal term (§17.3 operator table): 'n'
+    numeric, 's' simple/xsd:string/lang-tagged (fn:compare; lang-tagged is
+    the common engine extension), 'b' boolean, 'd' the dateTime family.
+    NULL = non-literal or a datatype with no defined comparison — such a
+    pair is a per-row type error, except where RDF term identity already
+    answers '=' (see _value_eq)."""
+    dt = s["dt"]
+    return (
+        F.when(s["kind"] != "literal", F.lit(None).cast("string"))
+        .when(dt.isin(*_NUMERIC_LIST), F.lit("n"))
+        .when((dt == "") | (dt == _XSD + "string"), F.lit("s"))
+        .when(dt == _XSD + "boolean", F.lit("b"))
+        .when(dt.isin(*_DT_DATETIME_FAMILY), F.lit("d"))
+    )
 
 
 def _term_eq(a: _Val, b: _Val) -> Column:
@@ -1112,4 +1177,43 @@ def _value_eq(a: _Val, b: _Val) -> Column:
     ax, bx = a.numeric_dbl(), b.numeric_dbl()
     eq_d = F.when(F.isnan(ax) | F.isnan(bx), F.lit(False)).otherwise(ax == bx)
     num_eq = F.when(use_dbl, eq_d).otherwise(a.numeric() == b.numeric())
-    return F.when(both_num, num_eq).otherwise(_term_eq(a, b))
+    base = F.when(both_num, num_eq).otherwise(_term_eq(a, b))
+    if a.struct is None or b.struct is None:
+        # a composed builtin result is a simple literal / number / IRI
+        # string — every family RDF term identity already decides
+        return base
+    # Value-space refinements + §17.4.1.7 RDFterm-equal error semantics,
+    # possible only on term structs (datatype provenance present):
+    #   * dateTime family compares as instants, so "…+02:00" = the same
+    #     moment written "…Z" (timestamp cast; ill-formed lexicals that
+    #     are not the identical term are a type error)
+    #   * xsd:boolean compares by value ("1" = "true"); an ill-formed
+    #     lexical is a type error unless identical terms
+    #   * a literal whose datatype has NO known value space can only be
+    #     proven equal (same term); a distinct pair is a TYPE ERROR (NULL),
+    #     never false — extended 'false' is only sound for datatypes with
+    #     provably disjoint/known value spaces (§17.3.1)
+    sa, sb = a.struct, b.struct
+    fa, fb = _cmp_family(sa), _cmp_family(sb)
+    lit_pair = (sa["kind"] == "literal") & (sb["kind"] == "literal")
+    ts_a = sa["v"].try_cast("timestamp")
+    ts_b = sb["v"].try_cast("timestamp")
+    bool_ok = sa["v"].isin(*_BOOL_VALID) & sb["v"].isin(*_BOOL_VALID)
+    bool_eq = sa["v"].isin("true", "1") == sb["v"].isin("true", "1")
+    teq = _term_eq(a, b)
+    return (
+        F.when(lit_pair & (fa.isNull() | fb.isNull()) & ~teq,
+               F.lit(None).cast("boolean"))
+        .when(
+            (fa == "d") & (fb == "d"),
+            F.when(ts_a.isNotNull() & ts_b.isNotNull(), ts_a == ts_b)
+            .when(teq, F.lit(True))
+            .when(
+                sa["v"].rlike(_TIME_LEX) & sb["v"].rlike(_TIME_LEX),
+                sa["v"] == sb["v"],
+            ),
+        )
+        .when((fa == "b") & (fb == "b"),
+              F.when(bool_ok, bool_eq).when(teq, F.lit(True)))
+        .otherwise(base)
+    )

@@ -491,6 +491,11 @@ class _Parser:
     }
 
     def filter_expr(self):
+        if self.peek() != "(":
+            # Constraint (grammar [68]) is BrackettedExpression OR a bare
+            # BuiltInCall / FunctionCall: `FILTER regex(?t, "x")`,
+            # `FILTER isIRI(?x)`, `FILTER xsd:integer(?v)` — no parens
+            return self._unary_expr()
         self.eat("(")
         e = self._or_expr()
         self.eat(")")
