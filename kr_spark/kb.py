@@ -374,6 +374,12 @@ class KB:
                 c = F.col(name)
             key = F.struct(
                 c.isNotNull().cast("int").alias("bound"),
+                # §15.1 term-kind order: blank nodes < IRIs < literals —
+                # a numeric literal must NOT sort before an IRI
+                F.when(c["kind"] == "bnode", 0)
+                .when(c["kind"] == "uri", 1)
+                .otherwise(2)
+                .alias("kind_rank"),
                 (~c["dt"].isin(*sorted(NUMERIC_DATATYPES))).cast("int").alias("nonnum"),
                 F.when(
                     c["dt"].isin(*sorted(NUMERIC_DATATYPES)),

@@ -570,11 +570,26 @@ def _apply_op(kb, op: str, args, plan_vars: set) -> _Val:
         # fn:string-length returns xs:integer
         return _Val(plain=F.length(A[0].string()), is_num=True, num_rank=F.lit(0))
     if op == ":substr":
-        # try_cast: an out-of-int-range position is a per-row error (NULL
-        # -> NULL result), not an ANSI overflow exception
-        start = A[1].numeric().try_cast("int")
-        length = A[2].numeric().try_cast("int") if len(A) > 2 else F.lit(1 << 30)
-        return _str_result(A[0].string().substr(start, length), A[0])
+        # fn:substring (§17.4.3.3): keep chars whose 1-based position p
+        # satisfies round(start) <= p < round(start)+round(length). A zero
+        # or negative start does NOT wrap from the string end (unlike
+        # Spark's substr): SUBSTR("12345",0,3)="12", SUBSTR("12345",-1,3)
+        # ="1". fn:round = floor(x+0.5) (half toward +inf, not Spark's
+        # HALF_UP). try_cast: an out-of-int-range position is a per-row
+        # error (NULL -> NULL result), not an ANSI overflow exception.
+        def _fnround(v: _Val) -> Column:
+            return F.floor(
+                F.try_add(v.numeric(), F.lit(0.5).cast("decimal(38,9)"))
+            ).try_cast("int")
+
+        start = _fnround(A[1])
+        end = (
+            F.try_add(start, _fnround(A[2])) if len(A) > 2 else F.lit(1 << 30)
+        )
+        s_eff = F.greatest(start, F.lit(1))
+        return _str_result(
+            A[0].string().substr(s_eff, F.greatest(end - s_eff, F.lit(0))), A[0]
+        )
     if op == ":ucase":
         return _str_result(F.upper(A[0].string()), A[0])
     if op == ":lcase":
@@ -637,9 +652,15 @@ def _apply_op(kb, op: str, args, plan_vars: set) -> _Val:
             )
         )
     if op == ":encode_for_uri":
+        # fn:encode-for-uri escapes everything outside RFC 3986 unreserved
+        # (ALPHA DIGIT - . _ ~): Java's form-encoder leaves '*' bare and
+        # escapes '~' — both the opposite of the spec — plus space -> '+'.
         # url_encode is form-encoding (space -> '+'); ENCODE_FOR_URI wants
         # percent-encoding (space -> '%20')
-        return _Val(plain=F.replace(F.url_encode(A[0].string()), F.lit("+"), F.lit("%20")))
+        enc = F.replace(F.url_encode(A[0].string()), F.lit("+"), F.lit("%20"))
+        enc = F.replace(enc, F.lit("*"), F.lit("%2A"))
+        enc = F.replace(enc, F.lit("%7E"), F.lit("~"))
+        return _Val(plain=enc)
 
     # ---- numeric builtins ----
     # abs/round/ceil/floor return their argument's numeric type (XPath)

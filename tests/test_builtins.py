@@ -571,3 +571,62 @@ def test_ebv_emitter_roundtrip(kb):
     text = emit_select(kb, p["pattern"], select_vars=["?/s"])
     rows = kb.sparql_query(text)
     assert sorted(r["s"].v.rsplit("/", 1)[-1] for r in rows) == ["a", "d", "g"]
+
+
+# ---- round-5 probe fixes: fn:substring edges, fn:encode-for-uri set,
+# §15.1 ORDER BY term-kind rank
+
+
+def test_substr_xpath_edges(kb):
+    """fn:substring keeps positions round(start) <= p < start+len — a zero
+    or negative start never wraps from the string end (§17.4.3.3; XPath
+    F&O fn:substring examples)."""
+    load_fixture(kb, [("ex/a", "ex/t", ["12345"])])
+    rows = kb.sparql_query(
+        PREFIXES
+        + """SELECT ?a ?b ?c ?d ?e WHERE { ?s ex:t ?t
+          BIND(SUBSTR(?t, 0, 3) AS ?a)
+          BIND(SUBSTR(?t, -1, 3) AS ?b)
+          BIND(SUBSTR(?t, 2) AS ?c)
+          BIND(SUBSTR(?t, 6, 2) AS ?d)
+          BIND(SUBSTR(?t, 1.5, 2.6) AS ?e) }"""
+    )
+    b = rows[0]
+    assert b["a"].v == "12"     # p in [0,3) ∩ [1,5] = {1,2}
+    assert b["b"].v == "1"      # p in [-1,2) ∩ [1,5] = {1}
+    assert b["c"].v == "2345"
+    assert b["d"].v == ""
+    # fn:round(1.5)=2, fn:round(2.6)=3 -> p in [2,5) = "234"
+    assert b["e"].v == "234"
+
+
+def test_encode_for_uri_rfc3986_unreserved(kb):
+    """fn:encode-for-uri escapes all but ALPHA DIGIT - . _ ~ with
+    uppercase hex: '~' stays bare, '*' becomes %2A (both are the opposite
+    of Java form-encoding), space is %20 not '+'."""
+    load_fixture(kb, [("ex/a", "ex/t", ["A b/~*_-."])])
+    rows = kb.sparql_query(
+        PREFIXES + "SELECT (ENCODE_FOR_URI(?t) AS ?e) WHERE { ?s ex:t ?t }"
+    )
+    assert rows[0]["e"].v == "A%20b%2F~%2A_-."
+
+
+def test_order_by_term_kind_rank(kb):
+    """§15.1: ORDER BY's partial order puts blank nodes < IRIs < literals;
+    a numeric literal must not sort before an IRI."""
+    load_fixture(
+        kb,
+        [
+            ("ex/s1", "ex/p", ["zebra"]),
+            ("ex/s2", "ex/p", "<http://aaa.example/x>"),
+            ("ex/s3", "ex/p", ["42", "xsd/integer"]),
+            ("ex/s4", "ex/p", "_/b0"),
+        ],
+    )
+    rows = kb.sparql_query(
+        PREFIXES + "SELECT ?o WHERE { ?s ex:p ?o } ORDER BY ?o"
+    )
+    kinds = [r["o"].kind for r in rows]
+    assert kinds == ["bnode", "uri", "literal", "literal"]
+    # and within literals numerics still come before plain strings
+    assert [r["o"].v for r in rows][2:] == ["42", "zebra"]
