@@ -523,12 +523,27 @@ class KB:
                     e = s if op == "sum" else F.try_divide(s, F.count_distinct(v))
                 else:
                     e = F.try_sum(v) if op == "sum" else F.try_avg(v)
+                # §18.5.1.5-6 + op:numeric-add: ONE error element (an
+                # unbound operand or a non-numeric term) makes the whole
+                # group's Sum/Avg an error -> unbound, not a silent
+                # skip-the-bad-rows total (Jena agrees). Empty groups pass
+                # (max over zero rows is NULL -> coalesce 0).
+                group_has_err = (
+                    F.coalesce(
+                        F.max((F.col(name).isNull() | v.isNull()).cast("int")),
+                        F.lit(0),
+                    )
+                    == 1
+                )
                 if not gcols:
                     # §18.5.1.5-6: Sum({}) = 0 and Avg({}) = 0 — a global
                     # aggregate over zero solutions yields one row with a
                     # ZERO, not an unbound var (Jena agrees; grouped
-                    # aggregation never sees an empty group)
+                    # aggregation never sees an empty group). The error
+                    # check must win over the empty-group zero, so it
+                    # wraps OUTSIDE the coalesce.
                     e = F.coalesce(e, F.lit(0).cast("decimal(38,9)"))
+                e = F.when(~group_has_err, e)
             elif op in ("min", "max"):
                 # MIN/MAX return the extreme TERM itself (§18.5.1.7-8 —
                 # unlike COUNT/SUM/AVG which mint new literals), so the full
@@ -541,6 +556,15 @@ class KB:
                 if distinct:
                     vals = F.array_distinct(vals)
                 e = F.array_join(F.array_sort(vals), sep)
+                # like Sum: an unbound/erroring operand errors the group's
+                # GroupConcat (§18.5.1.7); GroupConcat({}) stays ""
+                e = F.when(
+                    F.coalesce(
+                        F.max(F.col(name).isNull().cast("int")), F.lit(0)
+                    )
+                    == 0,
+                    e,
+                )
             elif op == "sample":
                 # any value is spec-conformant; min-by-lexical is
                 # deterministic, and like MIN/MAX it returns the term

@@ -700,6 +700,22 @@ class _Parser:
         pattern = self.group()
         mods = self._modifiers()
 
+        # ValuesClause (grammar [28]): a trailing VALUES after the solution
+        # modifiers joins its data block with the query solutions
+        # (§18.2.4.3) — previously it was silently IGNORED. For
+        # non-aggregate queries joining into the pattern is equivalent;
+        # with grouping the spec joins post-aggregation, which this
+        # translation can't express — refuse loudly rather than mis-scope.
+        if self.at_kw("values"):
+            self.next()
+            vals = self._values()
+            if aggs or mods["group_by"]:
+                raise ValueError(
+                    "trailing VALUES combined with GROUP BY/aggregates "
+                    "is not supported"
+                )
+            pattern = list(pattern) + [vals]
+
         # GROUP BY expression keys become pre-grouping BINDs (§18.2.4: the
         # key expression extends each solution before partitioning); an
         # unnamed key gets a hidden alias the SELECT projection drops
@@ -806,7 +822,11 @@ class _Parser:
         if form == "ask":
             if self.at_kw("where"):
                 self.next()
-            return {"type": "ask", "pattern": self.group()}
+            pattern = self.group()
+            if self.at_kw("values"):  # trailing ValuesClause (grammar [28])
+                self.next()
+                pattern = list(pattern) + [self._values()]
+            return {"type": "ask", "pattern": pattern}
         if form == "select":
             return self._parse_select()
         if form == "describe":
@@ -834,9 +854,33 @@ class _Parser:
                 raise ValueError("DESCRIBE ?v WHERE { } takes exactly one var")
             return {"type": "describe", "subjects": subjects, "pattern": pattern}
         if form == "construct":
-            template = [tuple(tp) for tp in self.group()]
-            self.eat("where")
-            pattern = self.group()
+            if self.at_kw("where"):
+                # CONSTRUCT WHERE { ... } shortform (§10.2.3): the pattern
+                # doubles as the template and must be a plain BGP
+                self.next()
+                pattern = self.group()
+                from kr_spark.plans.filters import FILTER_OPS
+
+                for cl in pattern:
+                    # triple patterns are 3/4-tuples of terms / '?/v' refs;
+                    # anything whose head is a clause keyword (':optional',
+                    # ':bind', ...) or a filter op ('=', '!', ...) is not
+                    # legal in the shortform's template-as-pattern BGP
+                    if (
+                        isinstance(cl, tuple)
+                        and cl
+                        and isinstance(cl[0], str)
+                        and (cl[0].startswith(":") or cl[0] in FILTER_OPS)
+                    ) or not isinstance(cl, tuple):
+                        raise ValueError(
+                            "CONSTRUCT WHERE shortform allows only triple "
+                            f"patterns, got {cl!r}"
+                        )
+                template = [tuple(tp) for tp in pattern]
+            else:
+                template = [tuple(tp) for tp in self.group()]
+                self.eat("where")
+                pattern = self.group()
             limit = self._limit()
             return {"type": "construct", "template": template, "pattern": pattern, "limit": limit}
         raise ValueError(f"unsupported SPARQL form {form!r}")

@@ -181,11 +181,15 @@ def test_malformed_numeric_lexical_in_data_is_row_error(kb):
         PREFIXES + "SELECT ?s WHERE { ?s ex:v ?v . FILTER(?v + 1 > 0) }"
     )
     assert {b["s"].v.rsplit("/", 1)[-1] for b in rows} == {"b"}
-    # aggregation over the same column survives too (SUM skips the bad row)
+    # aggregation over the same column survives the scan, and per
+    # §18.5.1.5 (Sum = fold of op:numeric-add) ONE error element makes
+    # the whole group's SUM an error -> unbound (Jena agrees); COUNT(?v)
+    # still counts the bound terms
     rows = kb.sparql_query(
-        PREFIXES + "SELECT (SUM(?v) AS ?t) WHERE { ?s ex:v ?v }"
+        PREFIXES + "SELECT (SUM(?v) AS ?t) (COUNT(?v) AS ?c) WHERE { ?s ex:v ?v }"
     )
-    assert rows[0]["t"].v == "7"
+    assert rows[0].get("t") is None
+    assert rows[0]["c"].v == "2"
 
 
 def test_str_of_numeric_result_is_canonical(kb):

@@ -487,3 +487,80 @@ def test_numeric_literal_forms(kb):
         "SELECT ?x WHERE { ?x ex:v 5 . ?x ex:v ?v FILTER(?v > .5) }"
     )
     assert len(rows) == 1
+
+
+# ---- round-5 probe fixes: trailing VALUES, CONSTRUCT WHERE shortform,
+# aggregate error propagation (§18.5.1.5-6)
+
+
+def test_trailing_values_clause_joins(kb):
+    """Grammar [28] ValuesClause: VALUES after the WHERE group (and after
+    solution modifiers) joins the data block — it must not be ignored."""
+    kb.add_statements([("ex/a", "ex/t", ["x"]), ("ex/b", "ex/t", ["y"])])
+    rows = kb.sparql_query(
+        "PREFIX ex: <http://www.example.org/> "
+        'SELECT ?s ?t WHERE { ?s ex:t ?t } VALUES ?t { "x" }'
+    )
+    assert [r["s"].v.rsplit("/", 1)[-1] for r in rows] == ["a"]
+    # ASK form carries the same clause
+    assert not kb.sparql_ask(
+        "PREFIX ex: <http://www.example.org/> "
+        'ASK { ?s ex:t ?t } VALUES ?t { "nope" }'
+    )
+
+
+def test_trailing_values_with_aggregation_refuses(kb):
+    import pytest as _pytest
+
+    kb.add_statements([("ex/a", "ex/t", ["x"])])
+    with _pytest.raises(ValueError, match="trailing VALUES"):
+        kb.sparql_query(
+            "PREFIX ex: <http://www.example.org/> "
+            "SELECT (COUNT(?t) AS ?c) WHERE { ?s ex:t ?t } GROUP BY ?s "
+            'VALUES ?s { "x" }'
+        )
+
+
+def test_construct_where_shortform(kb):
+    """§10.2.3: CONSTRUCT WHERE { BGP } uses the pattern as the template."""
+    kb.add_statements([("ex/a", "ex/t", ["x"]), ("ex/b", "ex/t", ["y"])])
+    out = kb.sparql_construct(
+        "PREFIX ex: <http://www.example.org/> CONSTRUCT WHERE { ?s ex:t ?o }"
+    )
+    n = out.count() if hasattr(out, "count") else len(out)
+    assert n == 2
+    # only plain BGPs are legal in the shortform
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="shortform"):
+        kb.sparql_construct(
+            "PREFIX ex: <http://www.example.org/> "
+            'CONSTRUCT WHERE { ?s ex:t ?o FILTER(?o = "x") }'
+        )
+
+
+def test_sum_avg_error_element_makes_group_unbound(kb):
+    """§18.5.1.5-6 via op:numeric-add: one non-numeric (or unbound) element
+    errors the whole group's SUM/AVG -> unbound, never a skip-the-bad-rows
+    partial total; COUNT(?v) still counts bound terms; the empty-group
+    SUM=0/AVG=0 base case survives the error gate."""
+    kb.add_statements(
+        [
+            ("ex/a", "ex/v", ["1", "xsd/integer"]),
+            ("ex/b", "ex/v", ["oops"]),
+        ]
+    )
+    rows = kb.sparql_query(
+        "PREFIX ex: <http://www.example.org/> "
+        "SELECT (SUM(?v) AS ?s) (AVG(?v) AS ?a) (COUNT(?v) AS ?c) "
+        "WHERE { ?x ex:v ?v }"
+    )
+    b = rows[0]
+    assert "s" not in b or b["s"] is None
+    assert "a" not in b or b["a"] is None
+    assert b["c"].v == "2"
+    rows = kb.sparql_query(
+        "PREFIX ex: <http://www.example.org/> "
+        "SELECT (SUM(?v) AS ?s) (AVG(?v) AS ?a) WHERE { ?x ex:nope ?v }"
+    )
+    assert rows[0]["s"].v == "0" and rows[0]["a"].v == "0"
