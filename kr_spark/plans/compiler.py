@@ -327,6 +327,19 @@ def compile_pattern(
                         raise ValueError(f"BIND would rebind in-scope var ?{vt.v}")
                     if _expr_refs_any(expr, set(batch)):
                         break  # reads a var bound in this batch -> next batch
+                    exn: list = []
+                    _find_exists_nodes(expr, exn)
+                    if exn:
+                        # EXISTS inside a BIND value (§17.4.1.4): arm-split
+                        # like _apply_filter — flush what's batched, then
+                        # bind the residual per truth assignment
+                        if batch:
+                            break
+                        acc = _apply_bind_exists(
+                            kb, expr, vt.v, acc, graph_scope
+                        )
+                        i += 1
+                        continue
                     batch[vt.v] = compile_value_expr(kb, expr, set(acc.all_vars))
                     i += 1
                 new = list(batch)
@@ -466,7 +479,14 @@ def _apply_filter(
     ]
     arms = []
     for assign in itertools.product((True, False), repeat=len(nodes)):
-        residual = _peval_bool(f, {id(n): v for n, v in zip(nodes, assign)})
+        env = {id(n): v for n, v in zip(nodes, assign)}
+        try:
+            residual = _peval_bool(f, env)
+        except ValueError:
+            # EXISTS under a non-boolean operator (IF/COALESCE/...):
+            # no constant-arm pruning, but plain substitution still
+            # partitions correctly — the residual just compiles whole
+            residual = _subst_exists(f, env)
         if residual is False:
             continue
         arm = CompiledPattern(
@@ -485,6 +505,59 @@ def _apply_filter(
     if df is None:  # every assignment's residual is constant false
         df = acc.df.filter(F.lit(False))
     return CompiledPattern(df, acc.all_vars, acc.visible_vars, set(acc.maybe_null))
+
+
+def _subst_exists(expr, env: dict):
+    """Replace each [NOT] EXISTS node (by identity) with its assigned
+    Python bool — the residual then compiles as an ordinary value
+    expression (True/False box to xsd:boolean terms)."""
+    if id(expr) in env:
+        return env[id(expr)]
+    if isinstance(expr, (list, tuple)) and expr and expr[0] != ":exists-expr":
+        return type(expr)(
+            [expr[0]] + [_subst_exists(x, env) for x in expr[1:]]
+        )
+    return expr
+
+
+def _apply_bind_exists(
+    kb, expr, var: str, acc: CompiledPattern, graph_scope
+) -> CompiledPattern:
+    """BIND whose value expression embeds [NOT] EXISTS subexpressions
+    (§17.4.1.4): same truth-assignment arm splitting as _apply_filter —
+    the semi/anti joins partition the input by each EXISTS term's truth,
+    each arm binds the residual expression with the term replaced by its
+    constant, and the arms union back. HAVING remains the one expression
+    position without EXISTS support (post-aggregation correlation)."""
+    nodes: list = []
+    _find_exists_nodes(expr, nodes)
+    if len(nodes) > 2:
+        raise ValueError("at most 2 EXISTS subexpressions per BIND expression")
+    subs = [
+        _compile_exists_inner(kb, list(n[1]), acc, graph_scope) for n in nodes
+    ]
+    arms = []
+    for assign in itertools.product((True, False), repeat=len(nodes)):
+        residual = _subst_exists(expr, {id(n): v for n, v in zip(nodes, assign)})
+        arm = CompiledPattern(
+            acc.df, list(acc.all_vars), list(acc.visible_vars), set(acc.maybe_null)
+        )
+        for (sub, strict), truth in zip(subs, assign):
+            arm = _apply_exists(arm, sub, truth, strict_vars=strict)
+        arms.append(
+            arm.df.withColumn(
+                var, compile_value_expr(kb, residual, set(arm.all_vars))
+            )
+        )
+    df = arms[0]
+    for a in arms[1:]:
+        df = df.unionByName(a)
+    return CompiledPattern(
+        df,
+        acc.all_vars + [var],
+        acc.visible_vars + [var],
+        acc.maybe_null | {var},
+    )
 
 
 def _expr_refs_any(expr, names: set) -> bool:

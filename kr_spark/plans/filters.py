@@ -382,11 +382,82 @@ def _compile(kb, expr, plan_vars: set) -> _Val:
     return _Val(struct=term_struct_lit(t))
 
 
+# §17.4.3 argument-type strictness (Jena raises ExprEvalException ->
+# per-row error -> unbound/row-dropped). Keys map op -> positions whose
+# compiled arg must be a *string literal* (simple, xsd:string, or
+# language-tagged); None = every argument (CONCAT). The hash builtins are
+# included even though §17.4.4 nominally wants simple/xsd:string: this
+# KB's reference-mandated auto-language stamps every ingested plain string
+# with the default tag, so hashing must keep working over them — the
+# check still rejects numerics/dates/IRIs.
+_STRING_ARG_OPS = {
+    ":strlen": (0,), ":substr": (0,), ":ucase": (0,), ":lcase": (0,),
+    ":contains": (0, 1), ":strstarts": (0, 1), ":strends": (0, 1),
+    ":strbefore": (0, 1), ":strafter": (0, 1), ":encode_for_uri": (0,),
+    ":replace": (0,), ":regex": (0,), ":concat": None,
+    ":md5": (0,), ":sha1": (0,), ":sha256": (0,), ":sha384": (0,),
+    ":sha512": (0,),
+}
+# STRLANG/STRDT take only simple / xsd:string lexical forms — a literal
+# that already carries a language tag is an argument type error
+# (§17.4.2.12-13; probe: Jena refuses STRLANG("chat"@fr, "en")).
+_SIMPLE_ARG_OPS = {":strlang": (0, 1), ":strdt": (0,)}
+
+
+def _is_string_lit(v: _Val) -> Column:
+    """Per-row §17.4.3 'string literal' test: a literal whose datatype is
+    absent/xsd:string, or language-tagged. IRIs, bnodes and non-string
+    datatypes (numerics, booleans, dates, user types) read false."""
+    if v.struct is None:
+        # composed plain results: string builtins yield strings; numeric/
+        # boolean/IRI-kinded results are statically not string literals
+        if v.is_num or v.is_bool or (v.kind and v.kind != "literal"):
+            return F.lit(False)
+        return F.lit(True)
+    return (v.struct["kind"] == "literal") & (
+        (v.struct["dt"] == "") | (v.struct["dt"] == _XSD + "string")
+    )
+
+
+def _gate_val(r: _Val, ok: Column) -> _Val:
+    """NULL-out a compiled result on rows where `ok` is false/NULL —
+    the SPARQL expression-error encoding shared with arithmetic."""
+    w = lambda c: None if c is None else F.when(ok, c)
+    return _Val(
+        struct=w(r.struct), plain=w(r.plain), is_bool=r.is_bool,
+        is_num=r.is_num, num_rank=r.num_rank, kind=r.kind,
+        num_dbl=w(r.num_dbl),
+    )
+
+
 def _apply_op(kb, op: str, args, plan_vars: set) -> _Val:
     if op == ":xsd-cast":
         # args[0] is the bare XSD type localname, not an expression
         return _xsd_cast(str(args[0]), _compile(kb, args[1], plan_vars))
     A = [_compile(kb, a, plan_vars) for a in args]
+    r = _apply_op_body(kb, op, args, A, plan_vars)
+    conds = []
+    if op in _STRING_ARG_OPS:
+        idxs = _STRING_ARG_OPS[op]
+        idxs = range(len(A)) if idxs is None else idxs
+        conds += [_is_string_lit(A[i]) for i in idxs if i < len(A)]
+    if op in _SIMPLE_ARG_OPS:
+        conds += [
+            _is_string_lit(A[i]) & (A[i].struct["lang"] == "")
+            if A[i].struct is not None
+            else _is_string_lit(A[i])
+            for i in _SIMPLE_ARG_OPS[op]
+            if i < len(A)
+        ]
+    if conds:
+        ok = conds[0]
+        for c in conds[1:]:
+            ok = ok & c
+        r = _gate_val(r, ok)
+    return r
+
+
+def _apply_op_body(kb, op: str, args, A: list, plan_vars: set) -> _Val:
 
     if op == ":bound":
         c = A[0].struct if A[0].struct is not None else A[0].plain
@@ -716,12 +787,21 @@ def _apply_op(kb, op: str, args, plan_vars: set) -> _Val:
             struct=_mk_term(F.lit("literal"), A[0].string(), lang=A[1].string())
         )
     if op == ":bnode":
-        # BNODE(str): deterministic label from the argument (a no-arg BNODE
-        # would be per-row nondeterministic — not supported; pass an
-        # expression that is unique per solution instead)
+        # BNODE(str): deterministic label from the argument. No-arg BNODE()
+        # (§17.4.2.9: a fresh bnode per solution) is per-row
+        # nondeterministic, so it sits behind the same opt-in as
+        # RAND/UUID/STRUUID — fresh labels break kill+resume bit-identity.
         if not A:
-            raise ValueError("BNODE() without argument is not supported; "
-                             "use BNODE(expr) with a per-solution expression")
+            if not getattr(kb, "allow_nondeterministic", False):
+                raise ValueError(
+                    "BNODE() without argument mints a fresh per-solution "
+                    "blank node (nondeterministic); set "
+                    "kb.allow_nondeterministic = True to enable it, or use "
+                    "BNODE(expr) with a per-solution expression"
+                )
+            return _Val(
+                struct=_mk_term(F.lit("bnode"), F.md5(F.expr("uuid()")))
+            )
         return _Val(struct=_mk_term(F.lit("bnode"), F.md5(A[0].string())))
 
     if op == ":isNumeric":
@@ -729,9 +809,9 @@ def _apply_op(kb, op: str, args, plan_vars: set) -> _Val:
 
     if op == ":exists-expr":
         raise ValueError(
-            "EXISTS subexpressions are supported only under !/&&/|| in "
-            "FILTER (compiled by arm splitting); not in BIND/HAVING or "
-            "under non-boolean operators"
+            "EXISTS subexpressions compile by arm splitting in FILTER and "
+            "BIND (any operator position); HAVING is the one expression "
+            "position without EXISTS support (post-aggregation correlation)"
         )
 
     if op in (":rand", ":uuid", ":struuid"):

@@ -128,8 +128,11 @@ def test_term_constructors(kb):
         [
             ("ex/a", "foaf/givenname", "?/g"),
             (":bind", (":iri", (":concat", ["http://x.org/"], "?/g")), "?/u"),
-            (":bind", (":strdt", "?/g", "xsd/string"), "?/typed"),
-            (":bind", (":strlang", "?/g", ["fr"]), "?/tagged"),
+            # STRDT/STRLANG take only simple/xsd:string lexical forms
+            # (§17.4.2.12-13; Jena raises on "Alice"@en) and the KB's
+            # auto-language stamps ?g with @en — STR strips the tag
+            (":bind", (":strdt", (":str", "?/g"), "xsd/string"), "?/typed"),
+            (":bind", (":strlang", (":str", "?/g"), ["fr"]), "?/tagged"),
             (":bind", (":bnode", "?/g"), "?/bn"),
         ]
     )
@@ -450,6 +453,20 @@ def test_rand_uuid_struuid_opt_in(kb):
     assert rows[0]["u"].v != rows[1]["u"].v
 
 
+def test_bnode_noarg_opt_in(kb):
+    # §17.4.2.9: BNODE() mints a fresh blank node per solution — same
+    # nondeterminism opt-in as RAND/UUID; BNODE(expr) stays ungated
+    load_fixture(kb, [("ex/a", "foaf/name", "Ann"), ("ex/b", "foaf/name", "Bea")])
+    q = PREFIXES + "SELECT ?x ?b WHERE { ?x foaf:name ?n BIND(BNODE() AS ?b) }"
+    with pytest.raises(ValueError, match="nondeterministic"):
+        kb.sparql_query(q)
+    kb.allow_nondeterministic = True
+    rows = kb.sparql_query(q)
+    assert len(rows) == 2
+    assert all(b["b"].kind == "bnode" for b in rows)
+    assert rows[0]["b"].v != rows[1]["b"].v
+
+
 def test_unary_minus_and_plus(kb):
     # SPARQL grammar [118] UnaryExpression: FILTER(-?a < -26)
     load_fixture(kb, TEST_TRIPLES_NUMBERS)
@@ -630,3 +647,51 @@ def test_order_by_term_kind_rank(kb):
     assert kinds == ["bnode", "uri", "literal", "literal"]
     # and within literals numerics still come before plain strings
     assert [r["o"].v for r in rows][2:] == ["42", "zebra"]
+
+
+def test_string_builtin_argument_type_errors(kb):
+    """§17.4.3 string functions require *string literal* args (simple,
+    xsd:string, or lang-tagged); a numeric / IRI argument is a per-row
+    expression error -> unbound var, row dropped in FILTER (Jena:
+    ExprEvalException). STRLANG/STRDT are stricter still: already
+    lang-tagged lexical forms are refused (§17.4.2.12-13)."""
+    load_fixture(
+        kb,
+        [
+            ("ex/a", "ex/v", ["5", "xsd/integer"]),
+            ("ex/a", "ex/n", ["chat"]),
+            ("ex/b", "ex/n", ["hi", "fr"]),
+        ],
+    )
+    # numeric arg -> error -> unbound
+    rows = kb.sparql_query(
+        PREFIXES + 'SELECT (CONCAT("v=", ?v) AS ?c) (STRLEN(?v) AS ?l) '
+        "WHERE { ?a ex:v ?v }"
+    )
+    assert rows[0].get("c") is None and rows[0].get("l") is None
+    # IRI arg -> error (STR(?s) is the sanctioned idiom)
+    rows = kb.sparql_query(
+        PREFIXES + "SELECT (UCASE(?s) AS ?u) WHERE { ?s ex:v ?v }"
+    )
+    assert rows[0].get("u") is None
+    # composed rescue: STR makes the lexical form available
+    rows = kb.sparql_query(
+        PREFIXES + 'SELECT (CONCAT("v=", STR(?v)) AS ?c) WHERE { ?a ex:v ?v }'
+    )
+    assert rows[0]["c"].v == "v=5"
+    # lang-tagged is a fine *string* arg (STRLEN/CONTAINS accept it) ...
+    rows = kb.sparql_query(
+        PREFIXES + "SELECT (STRLEN(?n) AS ?l) WHERE { ex:b ex:n ?n }"
+    )
+    assert rows[0]["l"].v == "2"
+    # ... but STRLANG/STRDT refuse it
+    rows = kb.sparql_query(
+        PREFIXES + 'SELECT (STRLANG(?n, "en") AS ?t) (STRDT(?n, xsd:string) '
+        "AS ?d) WHERE { ex:b ex:n ?n }"
+    )
+    assert rows[0].get("t") is None and rows[0].get("d") is None
+    # and accept the simple literal
+    rows = kb.sparql_query(
+        PREFIXES + 'SELECT (STRLANG(?n, "en") AS ?t) WHERE { ex:a ex:n ?n }'
+    )
+    assert rows[0]["t"].lang == "en"

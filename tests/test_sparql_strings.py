@@ -442,13 +442,35 @@ def test_exists_as_subexpression(kb):
     ) == ["b", "c"]
 
 
-def test_exists_expr_rejected_under_non_boolean(kb):
+def test_exists_expr_under_non_boolean_and_in_bind(kb):
+    # round 5: EXISTS under ANY operator (IF/comparison) and in BIND value
+    # position — substitution arm splitting, no constant-arm pruning
     load_fixture(kb, EXISTS_EXPR_DATA)
-    with pytest.raises(ValueError, match="EXISTS subexpressions"):
-        kb.sparql_query(
-            PREFIXES + "SELECT ?x WHERE { ?x foaf:age ?a "
-            'FILTER(IF(EXISTS { ?x foaf:knows ?y }, "t", "f") = "t") }'
-        )
+    rows = kb.sparql_query(
+        PREFIXES + "SELECT ?x WHERE { ?x foaf:age ?a "
+        'FILTER(IF(EXISTS { ?x foaf:knows ?y }, "t", "f") = "t") }'
+    )
+    assert sorted(b["x"].v.rsplit("/", 1)[-1] for b in rows) == ["a", "b"]
+    rows = kb.sparql_query(
+        PREFIXES + "SELECT ?x ?e WHERE { ?x foaf:age ?a "
+        "BIND(EXISTS { ?x foaf:knows ?y } AS ?e) }"
+    )
+    got = {(b["x"].v.rsplit("/", 1)[-1], b["e"].v) for b in rows}
+    assert got == {("a", "true"), ("b", "true"), ("c", "false")}
+    # boxed as a real xsd:boolean term
+    assert all(b["e"].dt.endswith("boolean") for b in rows)
+    rows = kb.sparql_query(
+        PREFIXES + "SELECT ?x ?e WHERE { ?x foaf:age ?a "
+        'BIND(IF(NOT EXISTS { ?x foaf:knows ?y }, "lonely", "social") AS ?e) }'
+    )
+    got = {(b["x"].v.rsplit("/", 1)[-1], b["e"].v) for b in rows}
+    assert got == {("a", "social"), ("b", "social"), ("c", "lonely")}
+    # EXISTS in a BIND composes with later clauses reading the bound var
+    rows = kb.sparql_query(
+        PREFIXES + "SELECT ?x WHERE { ?x foaf:age ?a "
+        "BIND(EXISTS { ?x foaf:knows ?y } AS ?e) FILTER(?e && ?a > 35) }"
+    )
+    assert sorted(b["x"].v.rsplit("/", 1)[-1] for b in rows) == ["a"]
 
 
 def test_empty_set_aggregate_base_cases(kb):
