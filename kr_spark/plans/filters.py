@@ -469,7 +469,9 @@ def _apply_op_body(kb, op: str, args, A: list, plan_vars: set) -> _Val:
     if op == ":isLiteral":
         return _Val(plain=A[0].term_kind() == "literal", is_bool=True)
     if op == ":str":
-        return _Val(plain=A[0].string())
+        # §17.4.2.5: STR takes a literal or IRI; a blank node is an
+        # argument type error (Jena: ExprEvalException -> unbound)
+        return _Val(plain=F.when(A[0].term_kind() != "bnode", A[0].string()))
     if op == ":lang":
         # LANG of a builtin's plain result: always the simple-literal tag ""
         if A[0].struct is None:
@@ -685,7 +687,10 @@ def _apply_op_body(kb, op: str, args, A: list, plan_vars: set) -> _Val:
         )
     if op == ":concat":
         # §17.4.3.12: lang carries over only when ALL args share it;
-        # xsd:string only when ALL args are xsd:string-typed
+        # xsd:string only when ALL args are xsd:string-typed. Zero args
+        # (fn:concat's identity) -> the empty simple literal, like Jena.
+        if not A:
+            return _Val(struct=_mk_term(F.lit("literal"), F.lit("")))
         lang, dt = _src_lang_dt(A[0])
         for a in A[1:]:
             l2, d2 = _src_lang_dt(a)

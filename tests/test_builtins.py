@@ -695,3 +695,22 @@ def test_string_builtin_argument_type_errors(kb):
         PREFIXES + 'SELECT (STRLANG(?n, "en") AS ?t) WHERE { ex:a ex:n ?n }'
     )
     assert rows[0]["t"].lang == "en"
+
+
+def test_str_bnode_is_error_and_concat_identity(kb):
+    # §17.4.2.5: STR takes a literal or IRI — a blank node argument is a
+    # per-row error -> unbound (Jena: ExprEvalException); fn:concat with
+    # zero args yields the empty simple literal
+    load_fixture(kb, [("_/b1", "ex/p", ["x"])])
+    rows = kb.sparql_query(
+        PREFIXES + "SELECT ?s (STR(?s) AS ?t) WHERE { ?s ex:p ?o }"
+    )
+    assert len(rows) == 1 and rows[0]["s"].kind == "bnode"
+    assert rows[0].get("t") is None
+    rows = kb.sparql_query(
+        PREFIXES + 'SELECT (CONCAT() AS ?c) (CONCAT("a") AS ?a) '
+        "(STR(ex:a) AS ?i) WHERE {}"
+    )
+    b = rows[0]
+    assert b["c"].v == "" and b["a"].v == "a"
+    assert b["i"].v == "http://www.example.org/a"
