@@ -473,10 +473,14 @@ def _apply_op_body(kb, op: str, args, A: list, plan_vars: set) -> _Val:
         # argument type error (Jena: ExprEvalException -> unbound)
         return _Val(plain=F.when(A[0].term_kind() != "bnode", A[0].string()))
     if op == ":lang":
-        # LANG of a builtin's plain result: always the simple-literal tag ""
+        # §17.4.2.6: LANG takes a literal — an IRI/bnode argument is a
+        # per-row error (Jena), not the simple-literal tag "".
+        # A builtin's plain result is always a literal -> tag ""
         if A[0].struct is None:
-            return _Val(plain=F.when(A[0].term_kind().isNotNull(), F.lit("")))
-        return _Val(plain=A[0].struct["lang"])
+            return _Val(plain=F.when(A[0].term_kind() == "literal", F.lit("")))
+        return _Val(
+            plain=F.when(A[0].struct["kind"] == "literal", A[0].struct["lang"])
+        )
     if op == ":datatype":
         # SPARQL §17.4.2.7: DATATYPE returns an IRI — xsd:string for a
         # simple literal, rdf:langString for a lang-tagged one, the declared

@@ -811,6 +811,15 @@ class _Parser:
         }
 
     def parse(self) -> dict:
+        out = self._parse_query()
+        # trailing tokens after a complete query are a syntax error, not
+        # ignorable garbage — silently dropping them once hid a mis-parsed
+        # ORDER BY (?x + ?y) (round-5 probe)
+        if self.peek() is not None:
+            raise ValueError(f"unexpected trailing token {self.peek()!r}")
+        return out
+
+    def _parse_query(self) -> dict:
         while self.at_kw("prefix"):
             self.next()
             name = self.next()
@@ -970,6 +979,14 @@ class _Parser:
                         out["order_by"].append((e, d))
                     elif self.peek() and self.peek()[0] in "?$":
                         out["order_by"].append(("?/" + self.next()[1:], "asc"))
+                    elif self.peek() == "(":
+                        # grammar [24] OrderCondition: a bare
+                        # BrackettedExpression orders ascending —
+                        # ORDER BY (?x + ?y)
+                        self.next()
+                        e = self._or_expr()
+                        self.eat(")")
+                        out["order_by"].append((e, "asc"))
                     elif self.peek() and (
                         self.peek().lower() in self._FN
                         or self.peek().lower() in self._AGGS

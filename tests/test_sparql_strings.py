@@ -586,3 +586,45 @@ def test_sum_avg_error_element_makes_group_unbound(kb):
         "SELECT (SUM(?v) AS ?s) (AVG(?v) AS ?a) WHERE { ?x ex:nope ?v }"
     )
     assert rows[0]["s"].v == "0" and rows[0]["a"].v == "0"
+
+
+def test_order_by_bracketted_expression_and_trailing_tokens(kb):
+    """Grammar [24] OrderCondition: a bare BrackettedExpression is a valid
+    ascending key — and trailing tokens after a complete query are a syntax
+    error (silently ignoring them once hid exactly this mis-parse)."""
+    kb.add_statements([
+        ("ex/a", "ex/x", [1, "xsd/integer"]), ("ex/a", "ex/y", [9, "xsd/integer"]),
+        ("ex/b", "ex/x", [5, "xsd/integer"]), ("ex/b", "ex/y", [1, "xsd/integer"]),
+    ])
+    rows = kb.sparql_query(
+        "PREFIX ex: <http://www.example.org/> "
+        "SELECT ?s WHERE { ?s ex:x ?x . ?s ex:y ?y } ORDER BY (?x + ?y)"
+    )
+    assert [r["s"].v.rsplit("/", 1)[-1] for r in rows] == ["b", "a"]
+    with pytest.raises(ValueError, match="trailing token"):
+        kb.sparql_query(
+            "PREFIX ex: <http://www.example.org/> "
+            "SELECT ?s WHERE { ?s ex:x ?x } BOGUS"
+        )
+
+
+def test_lang_of_non_literal_is_error(kb):
+    """§17.4.2.6: LANG takes a literal; an IRI argument is a per-row
+    expression error -> unbound / FILTER-dropped (Jena parity)."""
+    kb.add_statements([("ex/a", "ex/p", "ex/b"), ("ex/a", "ex/n", ["x"])])
+    rows = kb.sparql_query(
+        "PREFIX ex: <http://www.example.org/> "
+        "SELECT ?s (LANG(?o) AS ?l) WHERE { ?s ex:p ?o }"
+    )
+    assert len(rows) == 1 and rows[0].get("l") is None
+    rows = kb.sparql_query(
+        "PREFIX ex: <http://www.example.org/> "
+        'SELECT ?s WHERE { ?s ex:p ?o FILTER(LANG(?o) = "") }'
+    )
+    assert rows == []
+    # literals still answer: simple literal tag is ""
+    rows = kb.sparql_query(
+        "PREFIX ex: <http://www.example.org/> "
+        'SELECT ?s WHERE { ?s ex:n ?o FILTER(LANG(?o) = "") }'
+    )
+    assert len(rows) == 1
