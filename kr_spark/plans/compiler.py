@@ -1184,6 +1184,17 @@ def _slot_cols(kb, plan_vars: set, x, *, as_subject: bool):
     if (t.kind in (KIND_VAR, KIND_BNODE)) and t.v in plan_vars:
         c = F.col(t.v)
         return c["kind"], c["v"], c["lang"], c["dt"]
+    if t.kind == KIND_BNODE:
+        # §16.2: a blank node in the template instantiates FRESH per
+        # solution (Jena mints new labels); sharing one constant label
+        # across solutions wrongly merges the constructed nodes. The
+        # deterministic twin: md5 over the whole solution + the template
+        # label — same label across slots WITHIN a solution, distinct
+        # across differing solutions (duplicate bag solutions share, the
+        # same trade BNODE(expr) documents).
+        parts = [F.to_json(F.struct(F.col(v))) for v in sorted(plan_vars)]
+        lab = F.md5(F.concat_ws("\x1f", *parts, F.lit(t.v)))
+        return F.lit(t.kind), lab, F.lit(t.lang), F.lit(t.dt)
     return F.lit(t.kind), F.lit(t.v), F.lit(t.lang), F.lit(t.dt)
 
 

@@ -7,7 +7,8 @@ syntax: @prefix / PREFIX and @base / BASE directives, CURIEs, `a`,
 predicate-object lists (`;`) and object lists (`,`), literals with lang tag
 or datatype, numeric/boolean shorthand, single and triple-quoted strings,
 labeled and anonymous blank nodes ([] and [ p o ; ... ] property lists),
-comments. RDF collections `( ... )` are NOT supported (clear error).
+comments, RDF collections `( ... )` (rdf:first/rdf:rest bnode chains,
+object and subject position; round 5).
 
 Execution shape: Turtle is a stateful whole-document grammar (prefixes,
 multi-line statements), so unlike N-Triples it cannot be parsed line-wise.
@@ -31,6 +32,9 @@ from kr_spark.plans.sparql_parser import _unescape_string
 
 XSD = "http://www.w3.org/2001/XMLSchema#"
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+RDF_FIRST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
+RDF_REST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
+RDF_NIL = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
 
 _PNAME = r"(?:[A-Za-z_][\w-]*)?:(?:[A-Za-z_0-9][\w-]*(?:\.[\w-]+)*)?"
 _TOKEN = re.compile(
@@ -168,6 +172,8 @@ class _TurtleParser:
         t = self.peek()
         if t == "[":
             return "bnode", self._bnode_property_list()
+        if t == "(":
+            return self._collection()
         tok = self.next()
         if tok.startswith("_:"):
             return "bnode", tok[2:]
@@ -197,21 +203,25 @@ class _TurtleParser:
         return self._iri_term(tok)
 
     def _object(self, s_kind: str, s: str, p: str) -> None:
+        kind, v, lang, dt = self._object_term()
+        self._emit(s_kind, s, p, kind, v, lang, dt)
+
+    def _object_term(self) -> tuple:
+        """Parse one object value -> (kind, value, lang, dt); nested
+        structures ([..] property lists, (..) collections) emit their own
+        triples and return the node that stands for them."""
         t = self.peek()
         if t == "(":
-            raise ValueError("RDF collections '( ... )' are not supported")
+            kind, node = self._collection()
+            return kind, node, None, None
         if t == "[":
-            node = self._bnode_property_list()
-            self._emit(s_kind, s, p, "bnode", node, None, None)
-            return
+            return "bnode", self._bnode_property_list(), None, None
         tok = self.next()
         if tok.startswith("_:"):
-            self._emit(s_kind, s, p, "bnode", tok[2:], None, None)
-            return
+            return "bnode", tok[2:], None, None
         if tok.startswith(("'", '"')):
             lex, lang, dt = self._literal_tail(tok)
-            self._emit(s_kind, s, p, "literal", lex, lang, dt)
-            return
+            return "literal", lex, lang, dt
         if re.fullmatch(r"[+-]?(?:\d+\.\d+|\.\d+|\d+)(?:[eE][+-]?\d+)?", tok):
             if "e" in tok.lower():
                 dt = XSD + "double"
@@ -219,12 +229,34 @@ class _TurtleParser:
                 dt = XSD + "decimal"
             else:
                 dt = XSD + "integer"
-            self._emit(s_kind, s, p, "literal", tok, None, dt)
-            return
+            return "literal", tok, None, dt
         if tok in ("true", "false"):
-            self._emit(s_kind, s, p, "literal", tok, None, XSD + "boolean")
-            return
-        self._emit(s_kind, s, p, "uri", self._iri_term(tok), None, None)
+            return "literal", tok, None, XSD + "boolean"
+        return "uri", self._iri_term(tok), None, None
+
+    def _collection(self) -> tuple[str, str]:
+        """'(' object* ')' (Turtle grammar [15]) -> rdf:first/rdf:rest
+        bnode chain; the empty collection is rdf:nil."""
+        self.eat("(")
+        items = []
+        while self.peek() != ")":
+            if self.peek() is None:
+                raise ValueError("unterminated RDF collection '( ...'")
+            items.append(self._object_term())
+        self.eat(")")
+        if not items:
+            return "uri", RDF_NIL
+        labels = []
+        for _ in items:
+            self._anon += 1
+            labels.append(f"genid{self._anon}")
+        for i, ((kind, v, lang, dt), lab) in enumerate(zip(items, labels)):
+            self._emit("bnode", lab, RDF_FIRST, kind, v, lang, dt)
+            if i + 1 < len(labels):
+                self._emit("bnode", lab, RDF_REST, "bnode", labels[i + 1], None, None)
+            else:
+                self._emit("bnode", lab, RDF_REST, "uri", RDF_NIL, None, None)
+        return "bnode", labels[0]
 
     def _literal_tail(self, tok: str):
         if tok.startswith(('"""', "'''")):
@@ -267,7 +299,12 @@ class _TurtleParser:
     def _resolve_iri(self, tok: str) -> str:
         iri = tok[1:-1] if tok.startswith("<") else tok
         if self.base and not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", iri):
-            return self.base + iri
+            # RFC 3986 reference resolution (dot-segment removal, absolute
+            # paths, fragments) — plain concatenation left "dir/../up"
+            # unnormalized (round-5 probe)
+            from urllib.parse import urljoin
+
+            return urljoin(self.base, iri)
         return iri
 
     def _emit(self, s_kind, s, p, o_kind, o, o_lang, o_dt) -> None:

@@ -63,3 +63,20 @@ def test_construct_feeds_add_rows(kb):
     )
     kb.add_rows(out)
     assert kb.count([("?/x", "ex/is", "ex/Person")]) == 3  # a, b, somebody
+
+
+def test_construct_template_bnode_fresh_per_solution(kb):
+    """§16.2: a blank node in the CONSTRUCT template mints a FRESH node per
+    solution (Jena) — one shared label would wrongly merge them; within a
+    solution the same template label is the same node across triples."""
+    load_fixture(kb, [("ex/a", "ex/n", ["x"]), ("ex/b", "ex/n", ["y"])])
+    rows = kb.sparql_construct(
+        "PREFIX ex: <http://www.example.org/> "
+        "CONSTRUCT { ?s ex:has _:m . _:m ex:val ?n } WHERE { ?s ex:n ?n }"
+    ).collect()
+    assert len(rows) == 4
+    has = {r["s"]: r["o"] for r in rows if r["p"].endswith("has")}
+    val = {r["s"]: r["o"] for r in rows if r["p"].endswith("val")}
+    assert len(set(has.values())) == 2  # distinct across solutions
+    assert set(has.values()) == set(val.keys())  # same node within one
+    assert all(r["o_kind"] == "bnode" for r in rows if r["p"].endswith("has"))

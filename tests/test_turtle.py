@@ -74,11 +74,36 @@ def test_parse_turtle_base_and_sparql_style_prefix():
     assert rows[0][4] == "http://abs.example/x"
 
 
-def test_collections_raise():
-    with pytest.raises(ValueError, match="collections"):
-        parse_turtle_rows(
-            "@prefix ex: <http://e/> . ex:a ex:p ( ex:b ex:c ) ."
-        )
+def test_collections_parse_to_first_rest_chains():
+    # Turtle grammar [15]: ( o1 o2 ) -> rdf:first/rdf:rest bnode chain,
+    # () -> rdf:nil; nested and subject-position collections work (r5)
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    rows = parse_turtle_rows(
+        "@prefix ex: <http://e/> . ex:a ex:p ( ex:b ( ex:c ) ) . "
+        "( ex:d ) ex:q ex:e . ex:f ex:r ( ) ."
+    )
+    firsts = [r for r in rows if r[2] == RDF + "first"]
+    rests = [r for r in rows if r[2] == RDF + "rest"]
+    # outer 2-list + inner 1-list + subject 1-list = 4 cells
+    assert len(firsts) == 4 and len(rests) == 4
+    nil_rests = [r for r in rests if r[4] == RDF + "nil"]
+    assert len(nil_rests) == 3  # one list terminator per collection
+    empty = [r for r in rows if r[2] == "http://e/r"]
+    assert empty[0][3] == "uri" and empty[0][4] == RDF + "nil"
+    subj = [r for r in rows if r[2] == "http://e/q"]
+    assert subj[0][0] == "bnode"
+
+
+def test_base_relative_resolution_rfc3986():
+    # @base resolution removes dot-segments per RFC 3986 (round-5 probe:
+    # plain concatenation left "dir/../up" unnormalized)
+    rows = parse_turtle_rows(
+        "@base <http://b.org/dir/> . <a> <p> <../up> . <a> <p2> </abs> ."
+    )
+    by_p = {r[2].rsplit("/", 1)[-1]: r for r in rows}
+    assert by_p["p"][1] == "http://b.org/dir/a"
+    assert by_p["p"][4] == "http://b.org/up"
+    assert by_p["p2"][4] == "http://b.org/abs"
 
 
 def test_load_turtle_into_kb_and_query(kb):
