@@ -43,7 +43,7 @@ _TOKEN = re.compile(
     | (?P<langtag>@[A-Za-z][\w-]*)
     | (?P<dtmark>\^\^)
     | (?P<punct>[{}()\[\].,;]|\|\||&&|!=|<=|>=|[=<>!*/+?^|-])
-    | (?P<word>[A-Za-z_][\w.-]*:?[\w.-]*)
+    | (?P<word>(?:[A-Za-z_][\w.-]*)?:[\w.-]*|[A-Za-z_][\w.-]*)
     )
     """,
     re.VERBOSE,
@@ -99,6 +99,7 @@ class _Parser:
         self.toks = _tokenize(text)
         self.pos = 0
         self.prefixes: dict[str, str] = dict(kb.ns.short_to_long)
+        self.base = ""  # BASE directive (grammar [5])
         self._bnode_n = 0  # fresh-bnode counter for [ ... ] property lists
 
     # ---- token helpers ----
@@ -140,6 +141,12 @@ class _Parser:
     def _term(self, tok: str):
         """SPARQL token -> engine pattern slot."""
         if tok.startswith("<"):
+            iri = tok[1:-1]
+            if self.base and not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", iri):
+                # BASE-relative IRIREF (grammar [5]) — RFC 3986 resolution
+                from urllib.parse import urljoin
+
+                return f"<{urljoin(self.base, iri)}>"
             return tok  # engine accepts <uri> form directly
         if tok[0] in "?$":
             return "?/" + tok[1:]
@@ -165,9 +172,9 @@ class _Parser:
         if re.fullmatch(r"[+-]?\d*\.?\d+[eE][+-]?\d+", tok):
             return float(tok)
         if ":" in tok:
+            # PNAME (grammar [140-141]) — the empty prefix (PREFIX : <...>)
+            # and the bare ':' name (= the namespace IRI itself) are legal
             short, local = tok.split(":", 1)
-            if short == "" and local == "":
-                raise ValueError("bare ':' prefixed name unsupported")
             base = self.prefixes.get(short)
             if base is None:
                 raise ValueError(f"unknown prefix {short!r}")
@@ -820,7 +827,14 @@ class _Parser:
         return out
 
     def _parse_query(self) -> dict:
-        while self.at_kw("prefix"):
+        while self.at_kw("prefix") or self.at_kw("base"):
+            if self.at_kw("base"):
+                self.next()
+                iri = self.next()
+                if not iri.startswith("<"):
+                    raise ValueError(f"bad BASE IRI {iri!r}")
+                self.base = iri[1:-1]
+                continue
             self.next()
             name = self.next()
             if not name.endswith(":"):

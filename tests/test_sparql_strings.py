@@ -628,3 +628,24 @@ def test_lang_of_non_literal_is_error(kb):
         'SELECT ?s WHERE { ?s ex:n ?o FILTER(LANG(?o) = "") }'
     )
     assert len(rows) == 1
+
+
+def test_empty_prefix_and_base_directive(kb):
+    """Grammar [4-5]: BASE <iri> resolves relative IRIREFs (RFC 3986) and
+    PREFIX : <iri> declares the empty prefix; a bare ':' names the
+    namespace IRI itself."""
+    kb.add_statements([("ex/a", "ex/p", "ex/b")])
+    rows = kb.sparql_query(
+        "PREFIX : <http://www.example.org/> SELECT ?s WHERE { ?s :p :b }"
+    )
+    assert [r["s"].v.rsplit("/", 1)[-1] for r in rows] == ["a"]
+    rows = kb.sparql_query(
+        "BASE <http://www.example.org/> SELECT ?s WHERE { ?s <p> <b> }"
+    )
+    assert [r["s"].v.rsplit("/", 1)[-1] for r in rows] == ["a"]
+    # dot-segment removal in a relative ref
+    kb.add_statements([("http://www.example.org/up", "ex/q", ["z"])])
+    assert kb.sparql_ask(
+        "BASE <http://www.example.org/dir/> "
+        "ASK { <../up> <http://www.example.org/q> ?v }"
+    )
