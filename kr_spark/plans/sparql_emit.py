@@ -218,6 +218,10 @@ def _collect_vars(kb, tree, out: list[str]) -> None:
     if isinstance(tree, (list, tuple)):
         if _is_boxed_literal(tree):
             return
+        if tree and tree[0] in (":exists", ":not-exists", ":exists-expr"):
+            # vars bound only inside [NOT] EXISTS are scoped to it
+            # (§18.2.1) — they must not surface in the SELECT projection
+            return
         for x in tree:
             _collect_vars(kb, x, out)
         return
