@@ -623,6 +623,21 @@ class _Parser:
                 if flags is not None:
                     out += ([flags[0] if isinstance(flags, list) else flags],)
                 return out
+            if (
+                low in ("iri", "uri")
+                and self.base
+                and len(args) == 1
+                and isinstance(args[0], list)
+                and len(args[0]) == 1
+                and isinstance(args[0][0], str)
+                and not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", args[0][0])
+            ):
+                # §17.4.2.8: IRI(str) resolves against the query's BASE;
+                # constant relative strings resolve at parse time (dynamic
+                # args keep the engine's as-is behavior)
+                from urllib.parse import urljoin
+
+                args = [[urljoin(self.base, args[0][0])]]
             return (self._FN[low], *args)
         # grammar [128] iriOrFunction: a prefixed name / IRIREF followed by
         # '(' is a function call — the XPath constructor casts (§17.5) are
@@ -888,7 +903,10 @@ class _Parser:
                     # triple patterns are 3/4-tuples of terms / '?/v' refs;
                     # anything whose head is a clause keyword (':optional',
                     # ':bind', ...) or a filter op ('=', '!', ...) is not
-                    # legal in the shortform's template-as-pattern BGP
+                    # legal in the shortform's template-as-pattern BGP —
+                    # and neither is a property path (a list/tuple in the
+                    # predicate slot), since a path can't instantiate a
+                    # template triple (§10.2.3 allows only TriplesTemplate)
                     if (
                         isinstance(cl, tuple)
                         and cl
@@ -898,6 +916,13 @@ class _Parser:
                         raise ValueError(
                             "CONSTRUCT WHERE shortform allows only triple "
                             f"patterns, got {cl!r}"
+                        )
+                    if len(cl) >= 2 and isinstance(cl[1], (list, tuple)):
+                        # predicates are IRIs/vars only — a list/tuple in
+                        # the p slot is always a parsed path
+                        raise ValueError(
+                            "CONSTRUCT WHERE shortform cannot contain "
+                            f"property paths, got {cl[1]!r}"
                         )
                 template = [tuple(tp) for tp in pattern]
             else:

@@ -649,3 +649,23 @@ def test_empty_prefix_and_base_directive(kb):
         "BASE <http://www.example.org/dir/> "
         "ASK { <../up> <http://www.example.org/q> ?v }"
     )
+
+
+def test_construct_where_rejects_paths_and_iri_base_resolution(kb):
+    """§10.2.3 TriplesTemplate: the CONSTRUCT WHERE shortform cannot hold
+    property paths; §17.4.2.8: IRI(constant) resolves against BASE."""
+    kb.add_statements([("ex/a", "ex/p", "ex/b")])
+    with pytest.raises(ValueError, match="property paths"):
+        kb.sparql_construct(
+            "PREFIX ex: <http://www.example.org/> "
+            "CONSTRUCT WHERE { ?s ex:p+ ?o }"
+        )
+    rows = kb.sparql_query(
+        'BASE <http://www.example.org/dir/> '
+        'SELECT (IRI("rel") AS ?u) (IRI("../up") AS ?v) '
+        '(IRI("http://abs/") AS ?w) WHERE {}'
+    )
+    b = rows[0]
+    assert b["u"].v == "http://www.example.org/dir/rel"
+    assert b["v"].v == "http://www.example.org/up"
+    assert b["w"].v == "http://abs/"
