@@ -714,3 +714,56 @@ def test_str_bnode_is_error_and_concat_identity(kb):
     b = rows[0]
     assert b["c"].v == "" and b["a"].v == "a"
     assert b["i"].v == "http://www.example.org/a"
+
+
+def test_random_string_builtins_never_throw(kb):
+    """100 TB availability invariant, string twin of
+    test_random_arithmetic_never_throws: random §17.4.3 builtin trees over
+    adversarial term types (IRIs, bnodes, numerics, lang-tagged, empty
+    strings) must never raise — the strict argument-type gates turn every
+    violation into a per-row NULL, not a task-killing exception."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    load_fixture(
+        kb,
+        [
+            ("ex/a", "ex/v", ["plain"]),
+            ("ex/b", "ex/v", ["hi", "fr"]),
+            ("ex/c", "ex/v", [7, "xsd/integer"]),
+            ("ex/d", "ex/v", "ex/an-iri"),
+            ("ex/e", "ex/v", "_/bn"),
+            ("ex/f", "ex/v", [""]),
+        ],
+    )
+
+    leaves = st.sampled_from(["?/v", ["x"], ["Y", "en"], 3, [""]])
+
+    unary = st.sampled_from(
+        [":strlen", ":ucase", ":lcase", ":encode_for_uri", ":str", ":md5"]
+    )
+    binary = st.sampled_from(
+        [":contains", ":strstarts", ":strends", ":strbefore",
+         ":strafter", ":concat"]
+    )
+
+    def exprs(children):
+        return st.one_of(
+            st.tuples(unary, children).map(tuple),
+            st.tuples(binary, children, children).map(tuple),
+        )
+
+    tree = st.recursive(leaves, exprs, max_leaves=6)
+
+    @given(e=tree)
+    @settings(
+        max_examples=25,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(e):
+        if not isinstance(e, tuple):
+            e = (":str", e)
+        kb.query([("?/s", "ex/v", "?/v"), (":bind", e, "?/r")])
+
+    run()
