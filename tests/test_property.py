@@ -222,3 +222,127 @@ def test_compat_join_matches_naive_evaluator(spark, corpus):
         for b in rows
     }
     assert got == _naive_compat_eval(p_edges, q_edges, r_edges)
+
+
+# ---- random algebra trees vs a full naive evaluator (round 5) ----
+# Generalizes the fixed-shape compat test above: random clause sequences
+# with OPTIONAL / UNION / MINUS / nested groups (depth <= 3) over random
+# tiny graphs, evaluated both by the engine and by a direct bag-semantics
+# implementation of §18.2 (positional fold, compatible-mapping join,
+# LeftJoin, dom-overlap Minus). 150 random trees agreed at pin time; the
+# 25 fixed seeds here replay deterministically.
+
+_FZ_VARS = ["?/x", "?/y", "?/z", "?/w"]
+_FZ_NODES = [f"ex/n{i}" for i in range(4)]
+_FZ_PREDS = ["ex/p", "ex/q"]
+
+
+def _fz_triple(rng):
+    def slot():
+        return rng.choice(_FZ_VARS) if rng.random() < 0.75 else rng.choice(_FZ_NODES)
+    return (slot(), rng.choice(_FZ_PREDS), slot())
+
+
+def _fz_clauses(rng, depth=0):
+    out = []
+    for _ in range(rng.randint(1, 2 if depth else 3)):
+        kinds = ["triple"] if depth >= 2 else [
+            "triple", "triple", "optional", "union", "minus", "group"]
+        kind = rng.choice(kinds)
+        if kind == "triple":
+            out.append(_fz_triple(rng))
+        elif kind == "optional":
+            out.append((":optional", *_fz_clauses(rng, depth + 1)))
+        elif kind == "minus":
+            out.append((":minus", *_fz_clauses(rng, depth + 1)))
+        elif kind == "union":
+            out.append((":union", tuple(_fz_clauses(rng, depth + 1)),
+                        tuple(_fz_clauses(rng, depth + 1))))
+        else:
+            out.append(tuple(_fz_clauses(rng, depth + 1)))
+    return out
+
+
+def _fz_eval(clauses, data):
+    def is_var(t):
+        return isinstance(t, str) and t.startswith("?/")
+
+    def bgp(tp):
+        s, p, o = tp
+        out = []
+        for (ds, dp, do) in data:
+            if dp != p:
+                continue
+            m, ok = {}, True
+            for slot, d in ((s, ds), (o, do)):
+                if is_var(slot):
+                    if slot in m and m[slot] != d:
+                        ok = False
+                        break
+                    m[slot] = d
+                elif slot != d:
+                    ok = False
+                    break
+            if ok:
+                out.append(m)
+        return out
+
+    def compat(a, b):
+        return all(b[k] == v for k, v in a.items() if k in b)
+
+    def join(A, B):
+        return [{**a, **b} for a in A for b in B if compat(a, b)]
+
+    def leftjoin(A, B):
+        out = []
+        for a in A:
+            ms = [{**a, **b} for b in B if compat(a, b)]
+            out.extend(ms if ms else [a])
+        return out
+
+    def minus_(A, B):
+        return [a for a in A
+                if not any(compat(a, b) and (a.keys() & b.keys()) for b in B)]
+
+    sols = [dict()]
+    for cl in clauses:
+        head = cl[0] if cl else None
+        if head == ":optional":
+            sols = leftjoin(sols, _fz_eval(list(cl[1:]), data))
+        elif head == ":minus":
+            sols = minus_(sols, _fz_eval(list(cl[1:]), data))
+        elif head == ":union":
+            bag = []
+            for br in cl[1:]:
+                bag.extend(_fz_eval(list(br), data))
+            sols = join(sols, bag)
+        elif isinstance(head, (list, tuple)):
+            sols = join(sols, _fz_eval(list(cl), data))
+        else:
+            sols = join(sols, bgp(cl))
+    return sols
+
+
+def test_random_algebra_trees_match_naive_evaluator(kb):
+    import random as _random
+
+    for seed in range(1000, 1025):
+        rng = _random.Random(seed)
+        data = sorted({
+            (rng.choice(_FZ_NODES), rng.choice(_FZ_PREDS), rng.choice(_FZ_NODES))
+            for _ in range(rng.randint(2, 7))
+        })
+        clauses = _fz_clauses(rng)
+        from kr_spark.kb import KB
+
+        k = KB(kb.spark)
+        k.add_statements(data)
+        got = sorted(
+            tuple(sorted((n, t.v.rsplit("/")[-1]) for n, t in b.items()))
+            for b in k.query(clauses)
+        )
+        want = sorted(
+            tuple(sorted((n[2:], v.rsplit("/")[-1]) for n, v in m.items()))
+            for m in _fz_eval(clauses, data)
+        )
+        assert got == want, (seed, data, clauses, got[:5], want[:5])
