@@ -346,3 +346,34 @@ def test_random_algebra_trees_match_naive_evaluator(kb):
             for m in _fz_eval(clauses, data)
         )
         assert got == want, (seed, data, clauses, got[:5], want[:5])
+
+
+def test_random_algebra_trees_roundtrip_emit_parse(kb):
+    """Same random trees through emit_select -> parse_sparql -> query:
+    the raw-string pipeline must agree with the naive evaluator too
+    (60 random trees agreed at pin time; 10 fixed seeds replay)."""
+    import random as _random
+
+    from kr_spark.kb import KB
+    from kr_spark.plans.sparql_emit import emit_select
+    from kr_spark.plans.sparql_parser import parse_sparql
+
+    for seed in range(1000, 1010):
+        rng = _random.Random(seed)
+        data = sorted({
+            (rng.choice(_FZ_NODES), rng.choice(_FZ_PREDS), rng.choice(_FZ_NODES))
+            for _ in range(rng.randint(2, 7))
+        })
+        clauses = _fz_clauses(rng)
+        k = KB(kb.spark)
+        k.add_statements(data)
+        q = parse_sparql(k, emit_select(k, clauses))
+        got = sorted(
+            tuple(sorted((n, t.v.rsplit("/")[-1]) for n, t in b.items()))
+            for b in k.query(q["pattern"])
+        )
+        want = sorted(
+            tuple(sorted((n[2:], v.rsplit("/")[-1]) for n, v in m.items()))
+            for m in _fz_eval(clauses, data)
+        )
+        assert got == want, (seed, data, clauses, got[:5], want[:5])
