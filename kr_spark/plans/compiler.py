@@ -120,11 +120,15 @@ def _classify(kb, clause):
 
 def _looks_like_term_box(x) -> bool:
     """A boxed literal like ["Bob","en"] / [40,"xsd/integer"] — these can only
-    appear in term position, and their head is not a clause."""
+    appear in term position, and their head is not a clause. A 1-2 element
+    tuple whose OWN head is an operator keyword is a filter clause, not a
+    box (a nested group holding a single short filter, e.g.
+    ((':bound','?/w'),), must classify as a group — round-5 fuzzer)."""
     return (
         isinstance(x, (list, tuple))
         and 1 <= len(x) <= 2
         and not any(isinstance(e, (list, tuple)) for e in x)
+        and not (x and isinstance(x[0], str) and x[0] in FILTER_OPS)
     )
 
 

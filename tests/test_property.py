@@ -246,11 +246,28 @@ def _fz_triple(rng):
 def _fz_clauses(rng, depth=0):
     out = []
     for _ in range(rng.randint(1, 2 if depth else 3)):
-        kinds = ["triple"] if depth >= 2 else [
-            "triple", "triple", "optional", "union", "minus", "group"]
+        kinds = (["triple", "filter"] if depth >= 2 else
+                 ["triple", "triple", "optional", "union", "minus", "group",
+                  "filter", "values"])
         kind = rng.choice(kinds)
         if kind == "triple":
             out.append(_fz_triple(rng))
+        elif kind == "filter":
+            v = rng.choice(_FZ_VARS)
+            if rng.random() < 0.5:
+                f = (":bound", v) if rng.random() < 0.5 else ("!", (":bound", v))
+            else:
+                f = ("=", v, rng.choice(_FZ_NODES))
+                if rng.random() < 0.4:
+                    f = ("!", f)
+            out.append(f)
+        elif kind == "values":
+            vs = rng.sample(_FZ_VARS, rng.randint(1, 2))
+            rows = tuple(
+                tuple(None if rng.random() < 0.3 else rng.choice(_FZ_NODES)
+                      for _ in vs)
+                for _ in range(rng.randint(1, 2)))
+            out.append((":values", tuple(vs), rows))
         elif kind == "optional":
             out.append((":optional", *_fz_clauses(rng, depth + 1)))
         elif kind == "minus":
@@ -304,10 +321,30 @@ def _fz_eval(clauses, data):
         return [a for a in A
                 if not any(compat(a, b) and (a.keys() & b.keys()) for b in B)]
 
+    def eval_filter(f, m):
+        op = f[0]
+        if op == ":bound":
+            return f[1] in m
+        if op == "!":
+            inner = eval_filter(f[1], m)
+            return (not inner) if inner is not None else None
+        if op == "=":
+            if f[1] not in m:
+                return None  # unbound -> error -> row dropped
+            return m[f[1]] == f[2]
+        raise AssertionError(f)
+
     sols = [dict()]
+    filters = []
     for cl in clauses:
         head = cl[0] if cl else None
-        if head == ":optional":
+        if head in (":bound", "=", "!"):
+            filters.append(cl)  # group-scoped (§18.2.2.2): applies at end
+        elif head == ":values":
+            vs, rows = cl[1], cl[2]
+            sols = join(sols, [
+                {v: n for v, n in zip(vs, r) if n is not None} for r in rows])
+        elif head == ":optional":
             sols = leftjoin(sols, _fz_eval(list(cl[1:]), data))
         elif head == ":minus":
             sols = minus_(sols, _fz_eval(list(cl[1:]), data))
@@ -320,6 +357,8 @@ def _fz_eval(clauses, data):
             sols = join(sols, _fz_eval(list(cl), data))
         else:
             sols = join(sols, bgp(cl))
+    for f in filters:
+        sols = [m for m in sols if eval_filter(f, m) is True]
     return sols
 
 
