@@ -422,3 +422,100 @@ def test_cast_full_iri_form_parses(kb):
         "WHERE { ?s ex:v ?v }"
     )
     assert rows[0]["i"].v == "7"
+
+
+# ---- random expression trees vs a direct XPath-semantics model (round 5)
+
+
+def test_random_expressions_match_xpath_model(kb):
+    """Random comparison-over-arithmetic trees evaluated both by the
+    engine and by a direct Python model of XPath numeric semantics
+    (integer/decimal exact with division-by-zero = error, double-ranked
+    in IEEE space with INF/NaN, NaN != everything, error rows dropped).
+    180 random trees agreed at pin time; 20 fixed seeds replay."""
+    import random as _random
+    from decimal import Decimal
+
+    DATA = [
+        ("s0", 0, 0), ("s1", 1, 0), ("s2", -3, 0), ("s3", 7, 0),
+        ("s4", Decimal("2.5"), 1), ("s5", Decimal("-0.5"), 1),
+        ("s6", 2.0, 3), ("s7", 0.0, 3), ("s8", float("inf"), 3),
+    ]
+    CONSTS = [(0, 0), (1, 0), (2, 0), (-1, 0),
+              (Decimal("0.5"), 1), (2.0, 3), (0.0, 3)]
+
+    def gen(rng, depth=0):
+        if depth >= 3 or rng.random() < 0.35:
+            return "?/v" if rng.random() < 0.5 else rng.choice(CONSTS)
+        return (rng.choice("+-*/"), gen(rng, depth + 1), gen(rng, depth + 1))
+
+    def to_pat(e):
+        if e == "?/v":
+            return e
+        if isinstance(e, tuple) and isinstance(e[0], str) and e[0] in "+-*/":
+            return (e[0], to_pat(e[1]), to_pat(e[2]))
+        v, rank = e
+        return int(v) if rank == 0 else (
+            [str(v), "xsd/decimal"] if rank == 1 else float(v))
+
+    def ev(e, vv, vrank):
+        if e == "?/v":
+            return (vv, vrank)
+        if isinstance(e, tuple) and isinstance(e[0], str) and e[0] in "+-*/":
+            a, b = ev(e[1], vv, vrank), ev(e[2], vv, vrank)
+            if a is None or b is None:
+                return None
+            (av, ar), (bv, br) = a, b
+            rank = max(ar, br)
+            if rank >= 2:
+                av, bv = float(av), float(bv)
+                if e[0] == "+": return (av + bv, 3)
+                if e[0] == "-": return (av - bv, 3)
+                if e[0] == "*": return (av * bv, 3)
+                if bv == 0:
+                    return (float("nan") if av == 0
+                            else float("inf") if av > 0 else float("-inf"), 3)
+                return (av / bv, 3)
+            av, bv = Decimal(av), Decimal(bv)
+            if e[0] == "+": return (av + bv, rank)
+            if e[0] == "-": return (av - bv, rank)
+            if e[0] == "*": return (av * bv, rank)
+            if bv == 0:
+                return None  # exact-space division by zero = error
+            return (av / bv, max(rank, 1))
+        return e
+
+    def cmp_(op, a, b):
+        if a is None or b is None:
+            return None
+        av, bv = a[0], b[0]
+        if max(a[1], b[1]) >= 2:
+            import math
+            av, bv = float(av), float(bv)
+            if math.isnan(av) or math.isnan(bv):
+                return op == "!="
+        else:
+            av, bv = Decimal(av), Decimal(bv)
+        return {"<": av < bv, ">": av > bv,
+                "=": av == bv, "!=": av != bv}[op]
+
+    stmts = []
+    for sid, v, rank in DATA:
+        if rank == 0:
+            stmts.append((f"ex/{sid}", "ex/v", int(v)))
+        elif rank == 1:
+            stmts.append((f"ex/{sid}", "ex/v", [str(v), "xsd/decimal"]))
+        else:
+            lex = "INF" if v == float("inf") else repr(float(v))
+            stmts.append((f"ex/{sid}", "ex/v", [lex, "xsd/double"]))
+    load_fixture(kb, stmts)
+
+    for seed in range(7000, 7020):
+        rng = _random.Random(seed)
+        le, re_ = gen(rng), gen(rng)
+        op = rng.choice(["<", ">", "=", "!="])
+        rows = kb.query([("?/s", "ex/v", "?/v"), (op, to_pat(le), to_pat(re_))])
+        got = sorted(b["s"].v.rsplit("/", 1)[-1] for b in rows)
+        want = sorted(sid for sid, v, rank in DATA
+                      if cmp_(op, ev(le, v, rank), ev(re_, v, rank)) is True)
+        assert got == want, (seed, op, le, re_, got, want)
